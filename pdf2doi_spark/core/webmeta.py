@@ -1,0 +1,181 @@
+"""HTML metadata scan and main-content extraction — pure Python, zero Spark.
+
+Web analogues of the reference's PDF-side readers, per SURVEY.md §1.1/§2:
+
+* ``extract_meta``    ≈ ``get_pdf_info`` (reference ``finders.py:360-387``):
+  pulls ``<meta name=... content=...>`` tags (``citation_doi``,
+  ``dc.identifier``, …) and the ``<title>`` into an *ordered* key/value
+  list — order is load-bearing downstream, like the PDF info dict.
+* ``extract_main_content`` ≈ the font-histogram → threshold → select shape
+  of the reference's title/body detection
+  (``find_title_via_pymupdf.py:8-119``): segment the byte stream into
+  block-level chunks, score each block (text length, link density,
+  tag density), keep content-like blocks, join in document order. This is
+  the north rule's "DOM-heuristic main-content selection … as batched
+  byte-stream tokenizers inside Arrow UDFs"; the *spec* of the extracted
+  text is this Python implementation itself, and the Spark UDF runs this
+  identical code — which is what makes ``extracted_text`` byte-identical
+  per url between oracle and cluster output.
+
+Implementation notes: a single-pass regex tokenizer over the raw bytes —
+no DOM library (none is guaranteed on executors), fully deterministic,
+O(len(html)) per document, bounded per-row state (safe for Arrow batches).
+"""
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+
+# Tags whose entire contents are never user-visible content.
+_STRIP_TAGS = ("script", "style", "noscript", "template", "svg", "head")
+
+# Block-level boundaries used to segment the byte stream into blocks
+# (the web analogue of pymupdf's blocks/lines/spans walk).
+_BLOCK_TAGS = (
+    "p", "div", "section", "article", "main", "header", "footer", "nav",
+    "aside", "li", "ul", "ol", "table", "tr", "td", "th", "h1", "h2",
+    "h3", "h4", "h5", "h6", "br", "blockquote", "pre", "figure",
+)
+
+_META_RE = re.compile(
+    r'<meta\s+[^>]*?name\s*=\s*["\']([^"\']+)["\'][^>]*?content\s*=\s*["\']([^"\']*)["\'][^>]*?>',
+    re.I | re.S,
+)
+# content= appearing before name= (both attribute orders are legal HTML).
+_META_RE_REV = re.compile(
+    r'<meta\s+[^>]*?content\s*=\s*["\']([^"\']*)["\'][^>]*?name\s*=\s*["\']([^"\']+)["\'][^>]*?>',
+    re.I | re.S,
+)
+_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.I | re.S)
+
+_STRIP_RE = re.compile(
+    r"<(?:%s)\b[^>]*>.*?</(?:%s)\s*>" % ("|".join(_STRIP_TAGS), "|".join(_STRIP_TAGS)),
+    re.I | re.S,
+)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_BLOCK_SPLIT_RE = re.compile(r"</?(?:%s)\b[^>]*>" % "|".join(_BLOCK_TAGS), re.I)
+_ANCHOR_RE = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.I | re.S)
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+
+# Block-acceptance thresholds (fixed spec constants of this engine —
+# analogous to the reference's len>12 / >3-words title filters,
+# finders.py:412-435).
+MIN_BLOCK_CHARS = 20
+MAX_LINK_DENSITY = 0.33
+
+
+def _decode(html) -> str:
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray)):
+        return bytes(html).decode("utf-8", errors="replace")
+    return html
+
+
+def _unescape_basic(s: str) -> str:
+    # Deterministic minimal entity handling (full html.unescape would also
+    # be deterministic, but we keep the entity set explicit and pinned).
+    return (
+        s.replace("&amp;", "&")
+        .replace("&lt;", "<")
+        .replace("&gt;", ">")
+        .replace("&quot;", '"')
+        .replace("&#39;", "'")
+        .replace("&nbsp;", " ")
+    )
+
+
+def extract_meta(html) -> List[Tuple[str, str]]:
+    """Ordered ``(key, value)`` pairs from ``<meta>`` tags plus ``<title>``.
+
+    Keys are lowercased meta ``name`` attributes (e.g. ``citation_doi``,
+    ``dc.identifier``); the page title is emitted under key ``title``.
+    Pair order follows byte order in the document, preserving the
+    reference's ordered-dict iteration semantics (finders.py:719-728).
+    """
+    text = _decode(html)
+    if not text:
+        return []
+    pairs: List[Tuple[int, str, str]] = []
+    for m in _META_RE.finditer(text):
+        pairs.append((m.start(), m.group(1).strip().lower(), _unescape_basic(m.group(2).strip())))
+    for m in _META_RE_REV.finditer(text):
+        pairs.append((m.start(), m.group(2).strip().lower(), _unescape_basic(m.group(1).strip())))
+    t = _TITLE_RE.search(text)
+    if t:
+        pairs.append((t.start(), "title", _unescape_basic(_WS_RE.sub(" ", t.group(1)).strip())))
+    pairs.sort(key=lambda p: p[0])
+    seen = set()
+    out: List[Tuple[str, str]] = []
+    for _, k, v in pairs:
+        if k in seen:  # first occurrence wins, like a dict build
+            continue
+        seen.add(k)
+        out.append((k, v))
+    return out
+
+
+def _block_stats(segment: str) -> Tuple[str, int, int]:
+    """(visible_text, text_len, link_text_len) for one block segment."""
+    link_chars = 0
+    for a in _ANCHOR_RE.finditer(segment):
+        link_chars += len(_WS_RE.sub(" ", _TAG_RE.sub(" ", a.group(1))).strip())
+    visible = _WS_RE.sub(" ", _TAG_RE.sub(" ", segment))
+    visible = _unescape_basic(visible).strip()
+    return visible, len(visible), link_chars
+
+
+def extract_main_content(html) -> str:
+    """Boilerplate-stripped main content of an HTML document.
+
+    Pipeline (single pass, deterministic):
+      1. drop comments and non-content subtrees (script/style/head/...);
+      2. segment on block-level tag boundaries;
+      3. score each block: visible-text length and link density
+         (anchor-text chars / text chars);
+      4. keep blocks with ``len >= MIN_BLOCK_CHARS`` and
+         ``link_density <= MAX_LINK_DENSITY`` — high-link-density blocks
+         are navigation/footer boilerplate;
+      5. join survivors with ``'\\n'`` in document order.
+
+    Returns ``''`` for empty/degenerate input (never raises — a bad row
+    must not fail a Spark task).
+    """
+    text = _decode(html)
+    if not text:
+        return ""
+    try:
+        text = _COMMENT_RE.sub(" ", text)
+        text = _STRIP_RE.sub(" ", text)
+        kept: List[str] = []
+        for segment in _BLOCK_SPLIT_RE.split(text):
+            if not segment or segment.isspace():
+                continue
+            visible, n_chars, link_chars = _block_stats(segment)
+            if n_chars < MIN_BLOCK_CHARS:
+                continue
+            if n_chars > 0 and (link_chars / n_chars) > MAX_LINK_DENSITY:
+                continue
+            kept.append(visible)
+        return "\n".join(kept)
+    except Exception:
+        return ""
+
+
+def page_text_units(html, pre_extracted_text: Optional[str]) -> List[str]:
+    """Ordered text units for the ``document_text`` stage of one page.
+
+    Mirrors the reference's ordered-extractor design (``__init__.py:18-19``:
+    PyPdf before pdfminer — extractor order is correctness-affecting): the
+    pre-extracted ``text`` column plays extractor #1, the main-content body
+    derived from ``html`` plays extractor #2. First unit with a validated
+    hit wins.
+    """
+    units: List[str] = []
+    if pre_extracted_text:
+        units.append(pre_extracted_text)
+    body = extract_main_content(html)
+    if body:
+        units.append(body)
+    return units

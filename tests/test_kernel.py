@@ -1,0 +1,307 @@
+"""Row-kernel oracle tests — stage cascade, tier ordering, quirk pinning.
+
+Each case mirrors a row category from FIXTURES.md §1 (stage-coverage
+matrix); reference behaviors cited per test.
+"""
+from pdf2doi_spark.core.kernel import (
+    extract_one,
+    filename_candidates,
+    find_identifier_in_filename,
+    find_identifier_in_metadata,
+    find_identifier_in_text,
+    rewrite_arxiv_to_doi,
+)
+from pdf2doi_spark.core.webmeta import (
+    extract_main_content,
+    extract_meta,
+    page_text_units,
+)
+
+
+# ---------------------------------------------------------------- inner engine
+
+def test_text_tier0_doi_prefixed():
+    ident, desc, tier = find_identifier_in_text("see doi: 10.1063/1.2409490 for details")
+    assert (ident, desc, tier) == ("10.1063/1.2409490", "DOI", 0)
+
+
+def test_text_tier1_bare():
+    ident, desc, tier = find_identifier_in_text("cite 10.1038/s41586-019-1666-5 here")
+    assert (ident, desc, tier) == ("10.1038/s41586-019-1666-5", "DOI", 1)
+
+
+def test_text_tier1_absorbs_runon_offline():
+    # Run-on text: tier 1's charset includes a-z, so offline (syntactic
+    # validation only) the run-on letters are absorbed into the suffix and
+    # the candidate still standardises — identical to reference behavior
+    # with webvalidation=False. Tier 2 (digit-terminated) only changes the
+    # outcome under web validation, which is permanently out of scope.
+    ident, desc, tier = find_identifier_in_text(
+        "as shown in 10.1016/j.gaitpost.2009.07.035and others"
+    )
+    assert (ident, desc, tier) == ("10.1016/j.gaitpost.2009.07.035and", "DOI", 1)
+
+
+def test_tier2_pattern_shape():
+    # Tier 2 itself still matches digit-terminated run-on forms (pinning the
+    # pattern, reference patterns.py:49), even though tier 1 wins upstream.
+    from pdf2doi_spark.core.patterns import extract_doi_from_text
+
+    assert extract_doi_from_text("x 10.1016/j.gp.2009.035and y", version=2) == [
+        "10.1016/j.gp.2009.035"
+    ]
+
+
+def test_text_tier3_url_form():
+    ident, desc, tier = find_identifier_in_text("visit https://doi.org/10.1109/sp.2011.40 now")
+    # tier 0/1/2 may or may not hit first depending on charset; pin actual behavior:
+    assert ident == "10.1109/sp.2011.40"
+    assert desc == "DOI"
+
+
+def test_text_tier4_exact_fullstring():
+    ident, desc, tier = find_identifier_in_text("10.1068/p080244")
+    assert ident == "10.1068/p080244"
+    assert desc == "DOI"
+
+
+def test_arxiv_only_after_no_doi():
+    ident, desc, tier = find_identifier_in_text("preprint arXiv:1907.11692v2 online")
+    assert (ident, desc, tier) == ("1907.11692", "arxiv ID", 10)
+
+
+def test_doi_beats_arxiv_within_unit():
+    ident, desc, _ = find_identifier_in_text(
+        "arXiv:1907.11692 but also doi: 10.1063/1.2409490 appears"
+    )
+    assert desc == "DOI"
+    assert ident == "10.1063/1.2409490"
+
+
+def test_first_text_unit_wins():
+    # Ordered units: the first unit with a hit wins (reference finders.py:323).
+    ident, _, _ = find_identifier_in_text(
+        ["first has 10.2307/357448 inside", "second has 10.1002/esp.3322 inside"]
+    )
+    assert ident == "10.2307/357448"
+
+
+def test_first_validated_candidate_wins_in_unit():
+    # Two DOIs in ONE unit: first validated match in match order wins
+    # (reference finders.py:331-339) — NOT the last-match quirk of
+    # standardise_doi, which only applies to a single candidate string.
+    ident, _, _ = find_identifier_in_text(
+        "a 10.1063/1.2409490 then 10.1038/s41586-019-1666-5 b"
+    )
+    assert ident == "10.1063/1.2409490"
+
+
+def test_bytes_units_decoded():
+    ident, _, _ = find_identifier_in_text([b"doi: 10.1068/p080244 ok"])
+    assert ident == "10.1068/p080244"
+
+
+def test_unicode_noise_around_doi():
+    ident, _, _ = find_identifier_in_text("résumé — doi: 10.2307/3950104 — end")
+    assert ident == "10.2307/3950104"
+
+
+def test_invalid_utf8_bytes_do_not_crash():
+    # Divergence from the reference, pinned: bare .decode() at reference
+    # finders.py:326 raises on invalid UTF-8 and nulls the whole document
+    # (main.py:130-142); we decode lossily so a valid identifier elsewhere
+    # in the row still wins and a Spark task never dies on one bad row.
+    assert find_identifier_in_text([b"\xff\xfe garbage"]) == (None, None, None)
+    ident, _, _ = find_identifier_in_text([b"\xff bad", b"doi: 10.1068/p080244 x"])
+    assert ident == "10.1068/p080244"
+
+
+def test_filename_keeps_pdf_suffix_offline():
+    # Pinned to the reference's own expectation (test_patterns.py:56):
+    # offline, '10.1177:0146167297234003.pdf' standardises WITH the .pdf
+    # suffix kept — extension stripping only changes outcomes under web
+    # validation, which is out of scope.
+    ident, _, _ = find_identifier_in_filename("https://r.org/10.1177:0146167297234003.pdf")
+    assert ident == "10.1177/0146167297234003.pdf"
+
+
+def test_miss_returns_nones():
+    assert find_identifier_in_text("no identifiers at all") == (None, None, None)
+    assert find_identifier_in_text(None) == (None, None, None)
+
+
+# ---------------------------------------------------------------- metadata stage
+
+def test_meta_priority_key_wins():
+    meta = [
+        ("junkfield", "10.1002/esp.3322"),
+        ("citation_doi", "10.1068/p080244"),
+    ]
+    ident, desc, _ = find_identifier_in_metadata(meta)
+    assert ident == "10.1068/p080244"  # priority key beats earlier junk key
+
+
+def test_meta_blacklist_skipped():
+    meta = [("wps-journaldoi", "10.1002/esp.3322")]
+    assert find_identifier_in_metadata(meta) == (None, None, None)
+
+
+def test_meta_blacklist_falls_through_to_other_key():
+    meta = [
+        ("wps-journaldoi", "10.1002/esp.3322"),
+        ("subject", "see doi: 10.2307/357448"),
+    ]
+    ident, _, _ = find_identifier_in_metadata(meta)
+    assert ident == "10.2307/357448"
+
+
+def test_meta_empty():
+    assert find_identifier_in_metadata(None) == (None, None, None)
+    assert find_identifier_in_metadata([]) == (None, None, None)
+
+
+# ---------------------------------------------------------------- filename stage
+
+def test_filename_candidates_extension_stripping():
+    cands = filename_candidates("https://x.org/a/10.1227%2F12345678.pdf")
+    # accumulate over '.'-split of the DECODED basename, reversed
+    # (reference finders.py:749-753): longest candidate first.
+    assert cands == ["10.1227/12345678.pdf", "10.1227/12345678", "10"]
+
+
+def test_filename_doi_under_pdf_suffix():
+    ident, desc, _ = find_identifier_in_filename("https://x.org/p/10.1227%2F12345678.pdf")
+    assert desc == "DOI"
+    assert ident.startswith("10.1227/")
+
+
+def test_filename_arxiv_pdf_form():
+    ident, desc, tier = find_identifier_in_filename("https://arxiv.org/pdf/1907.11692v2.pdf")
+    assert (ident, desc) == ("1907.11692", "arxiv ID")
+
+
+def test_filename_plain_no_hit():
+    assert find_identifier_in_filename("https://x.org/index.html") == (None, None, None)
+
+
+# ---------------------------------------------------------------- cascade
+
+def _mk_meta(doi):
+    return [("citation_doi", doi)]
+
+
+def test_cascade_meta_first():
+    r = extract_one(
+        url="https://x.org/10.1227%2F999.pdf",
+        meta=_mk_meta("10.1068/p080244"),
+        text_units=["text with 10.1002/esp.3322 inside"],
+    )
+    assert r["identifier"] == "10.1068/p080244"
+    assert r["method"] == "document_infos"
+
+
+def test_cascade_filename_second():
+    r = extract_one(
+        url="https://x.org/files/10.1227%2F12345678.pdf",
+        meta=[("description", "nothing here")],
+        text_units=["text with 10.1002/esp.3322 inside"],
+    )
+    assert r["method"] == "filename"
+
+
+def test_cascade_text_third():
+    r = extract_one(
+        url="https://x.org/article.html",
+        meta=[],
+        text_units=["body cites doi: 10.1111/j.1532-5415.2012.04014.x end"],
+    )
+    assert r["identifier"] == "10.1111/j.1532-5415.2012.04014.x"
+    assert r["method"] == "document_text"
+
+
+def test_cascade_cache_fast_path():
+    r = extract_one(
+        url="https://x.org/a.html",
+        meta=[],
+        text_units=[],
+        cached_identifier="10.1068/p080244",
+    )
+    assert r["method"] == "document_infos"
+    assert r["tier"] == -1
+
+
+def test_cascade_miss():
+    r = extract_one(url="https://x.org/a.html", meta=[], text_units=["plain"])
+    assert r["identifier"] is None
+    assert r["method"] is None
+
+
+def test_arxiv_rewrite_intended_semantics():
+    # Reference finders.py:680-684 intended offline behavior (the reference
+    # itself crashes here offline — SURVEY.md V4); we pin the intended
+    # synthetic-DOI semantics and keep replace_arxiv=False for strict parity.
+    r = extract_one(
+        url="https://arxiv.org/abs/x.html",
+        meta=[],
+        text_units=["see arXiv:1907.11692v2"],
+        replace_arxiv=True,
+    )
+    assert r["identifier"] == "10.48550/arXiv.1907.11692"
+    assert r["identifier_type"] == "arxiv DOI"
+    assert r["method"] == "document_text + arxiv2doi"
+
+    r2 = extract_one(
+        url="https://arxiv.org/abs/x.html",
+        meta=[],
+        text_units=["see arXiv:1907.11692v2"],
+        replace_arxiv=False,
+    )
+    assert r2["identifier"] == "1907.11692"
+    assert r2["identifier_type"] == "arxiv ID"
+    assert r2["method"] == "document_text"
+
+
+def test_rewrite_noop_for_doi():
+    assert rewrite_arxiv_to_doi("10.1/x", "DOI", "filename") == ("10.1/x", "DOI", "filename")
+
+
+# ---------------------------------------------------------------- webmeta
+
+HTML = b"""<html><head><title>A Sufficiently Long Example Title</title>
+<meta name="citation_doi" content="10.1068/p080244">
+<meta content="den Dulk" name="citation_author">
+<script>var x = 'doi: 10.9999/evil';</script>
+</head><body>
+<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>
+<div>This is the main body paragraph, long enough to keep, citing doi: 10.2307/357448 inline.</div>
+<footer><a href="/tos">Terms</a> <a href="/privacy">Privacy</a></footer>
+</body></html>"""
+
+
+def test_extract_meta_ordered_pairs():
+    meta = extract_meta(HTML)
+    keys = [k for k, _ in meta]
+    assert keys == ["title", "citation_doi", "citation_author"]
+    assert dict(meta)["citation_doi"] == "10.1068/p080244"
+
+
+def test_main_content_strips_boilerplate():
+    body = extract_main_content(HTML)
+    assert "main body paragraph" in body
+    assert "10.2307/357448" in body
+    assert "Home" not in body          # link-dense nav dropped
+    assert "Privacy" not in body       # link-dense footer dropped
+    assert "evil" not in body          # script contents dropped
+
+
+def test_main_content_deterministic_and_safe():
+    assert extract_main_content(HTML) == extract_main_content(HTML)
+    assert extract_main_content(b"") == ""
+    assert extract_main_content(None) == ""
+    assert extract_main_content(b"\xff\xfe garbage <p>still fine fine fine fine</p>") != None
+
+
+def test_page_text_units_order():
+    units = page_text_units(HTML, "pre-extracted text column value here")
+    assert units[0] == "pre-extracted text column value here"
+    assert "main body paragraph" in units[1]
