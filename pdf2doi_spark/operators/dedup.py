@@ -1,0 +1,235 @@
+"""Deduplication operators over the ``documents`` table.
+
+Large-scale training-data dedup family (driver mandate), each designed
+around its shuffle profile at 10^12-row scale:
+
+* **exact**      — md5 fingerprint → groupBy(fp). One shuffle on a 32-byte
+  key; map-side partial aggregation collapses most duplicates before the
+  exchange. md5 (not xxhash64) so the fingerprints are bit-identical in
+  Spark, DuckDB, and Python — the cross-engine dedup contract.
+* **MinHash+LSH** — shingle → k min-hashes → b bands → bucket self-join.
+  The crucial scale property: candidate generation never compares all
+  pairs; the only shuffle is on (band_idx, band_hash), and AQE's skew-join
+  splitting handles pathological buckets (boilerplate-identical pages).
+  Min-hash here is the *lexicographic min of keyed md5 hex digests* — a
+  valid uniform min-hash family that every engine evaluates identically,
+  so the whole operator (signatures, bands, verified Jaccard) stays in
+  native expressions with an exact SQL oracle. No Python in the path.
+* **n-gram Jaccard** — exact verified similarity for candidate pairs.
+* **SimHash**    — 64-bit bit-vote fingerprint via a vectorized pandas UDF
+  (per-bit voting is the one step that is genuinely cheaper in numpy than
+  in 64 native aggregations); near-dup = Hamming ≤ threshold within
+  16-bit prefix buckets.
+"""
+from __future__ import annotations
+
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------- helpers
+
+def _norm_text(col: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (native expressions).
+
+    ``transform(sequence(...))`` over the split token array — no explode, so
+    the row count (and therefore the shuffle width) never fans out.
+    """
+    words = F.split(_norm_text(col), " ")
+    k = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return F.when(k >= 1, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-duplicate groups: fingerprint → count + canonical keeper."""
+    return (
+        df.select(F.col("doc_id"), F.md5(_norm_text(F.col(text_col))).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fp")
+    )
+
+
+def distinct_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Survivor set after exact dedup (keep min doc_id per fingerprint)."""
+    fp = df.select(F.col("doc_id"), F.md5(_norm_text(F.col(text_col))).alias("fp"))
+    keepers = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return keepers.select("doc_id", "fp")
+
+
+# ---------------------------------------------------------------- minhash-lsh
+
+def minhash_signature(col: Column, num_hashes: int = 12) -> List[Column]:
+    """k min-hash values for a shingle-array column: for seed i, the
+    lexicographic min over shingles of md5(i || ':' || shingle)."""
+    return [
+        F.array_min(
+            F.transform(col, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_bands(df: DataFrame, text_col: str = "text", num_hashes: int = 12,
+                  bands: int = 4) -> DataFrame:
+    """doc_id × band rows: (doc_id, band_idx, band_hash). rows = docs × b —
+    bounded fan-out, each band hash is 32 bytes."""
+    rows_per_band = num_hashes // bands
+    sh = df.select(F.col("doc_id"), word_shingles(F.col(text_col)).alias("sh"))
+    sh = sh.filter(F.size("sh") > 0)
+    sig = sh.select("doc_id", *minhash_signature(F.col("sh"), num_hashes))
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *parts)).alias("band_hash"))
+        )
+    return (
+        sig.select(F.col("doc_id"), F.explode(F.array(*band_cols)).alias("band"))
+        .select("doc_id", F.col("band.band_idx").alias("band_idx"),
+                F.col("band.band_hash").alias("band_hash"))
+    )
+
+
+def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
+                            num_hashes: int = 12, bands: int = 4) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing at least one LSH band.
+
+    The self-join shuffles on (band_idx, band_hash) only; no all-pairs
+    comparison ever happens. At crawl scale, giant buckets (empty pages,
+    boilerplate) are the skew risk — AQE skew-join is on in the session
+    defaults, and callers can pre-filter degenerate fingerprints.
+    """
+    b = minhash_bands(df, text_col, num_hashes, bands)
+    left = b.alias("l")
+    right = b.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+                  threshold: float = 0.7) -> DataFrame:
+    """Verify candidate pairs with exact shingle Jaccard ≥ threshold.
+
+    Joins shingle arrays to the (small relative to input) candidate set —
+    two hash joins, then a narrow map for the set math.
+    """
+    sh = df.select(F.col("doc_id"), word_shingles(F.col(text_col)).alias("sh"))
+    out = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
+                            num_hashes: int = 12, bands: int = 4,
+                            threshold: float = 0.7) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline: near-duplicate pairs with their
+    exact Jaccard, ordered deterministically."""
+    pairs = minhash_candidate_pairs(df, text_col, num_hashes, bands)
+    return jaccard_pairs(df, pairs, text_col, threshold).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------- simhash
+
+_SIMHASH_BITS = 64
+
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """Vectorized 64-bit SimHash: per token, a stable 64-bit hash (md5
+    prefix); per document, bit-vote across tokens. numpy does the bit
+    unpacking/voting for the whole batch's tokens at once."""
+    import hashlib
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        toks = t.lower().split()
+        if not toks:
+            continue
+        hs = np.frombuffer(
+            b"".join(hashlib.md5(tok.encode()).digest()[:8] for tok in set(toks)),
+            dtype=">u8",
+        )
+        bits = ((hs[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.uint64)) & 1).astype(np.int32)
+        votes = bits.sum(axis=0) * 2 - len(hs)
+        val = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            val |= np.uint64(1) << np.uint64(b)
+        out[i] = val.astype(np.int64)
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash:long) via an Arrow-batched pandas UDF."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def sh(texts: pd.Series) -> pd.Series:
+        return _simhash_batch(texts)
+
+    return df.select(F.col("doc_id"), sh(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
+                            max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, candidate-
+    bucketed on the top 16 bits (so the self-join shuffles on a small key,
+    never all-pairs)."""
+    s = simhash(df, text_col).withColumn(
+        "bucket", F.shiftrightunsigned(F.col("simhash"), _SIMHASH_BITS - 16)
+    )
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,158 @@
+"""The extraction pipeline: pages → (url, identifier, identifier_type, method,
+tier, extracted_text).
+
+Physical design (SURVEY.md §3/§4):
+
+* **One fused Arrow kernel.** The whole cascade (meta scan → filename →
+  text) runs inside a single ``mapInPandas``, so each row-batch crosses the
+  JVM↔Python boundary exactly once — at 10^12 rows the per-batch crossing
+  is the dominant physical cost, and three separate UDF stages would triple
+  it. Stage gating ("don't run stage N for resolved rows") is a plain
+  Python ``if`` inside the batch loop, which Catalyst could never do for us
+  across UDFs.
+* **Vectorized prefilter.** Before any per-row regex-tier work, a pandas
+  ``str.contains`` pass over the batch marks rows that cannot possibly hold
+  an identifier (no ``10.`` and no ``arxiv`` anywhere in url/text/html);
+  those rows skip the cascade entirely. On realistic crawls the vast
+  majority of pages are misses, so the kernel cost concentrates on the few
+  candidate rows. Main-content extraction still runs for every row (the
+  output contract includes ``extracted_text`` per url).
+* **Column pruning friendly.** The kernel consumes exactly
+  ``url, html, text`` (+ optional ``cached_identifier``); callers select
+  those columns first so the parquet/Iceberg scan prunes everything else
+  (``warc_ts``/``lang`` never cross into Python).
+
+Reference parity: per-row semantics are ``pdf2doi_spark.core.kernel``
+(cited there to finders.py/main.py); this module adds only distribution.
+"""
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from pdf2doi_spark.core.kernel import extract_one
+from pdf2doi_spark.core.webmeta import extract_main_content, extract_meta, page_text_units
+
+RESULT_SCHEMA = (
+    "url string, identifier string, identifier_type string, "
+    "method string, tier int, extracted_text string"
+)
+
+# Cheap byte-level candidate markers: every DOI contains '10.'; every
+# post-2007 arXiv hit requires 'arxiv' (tier 0) or 'NNNN.N*.pdf' (tier 1,
+# filenames only — covered by scanning the url too).
+_DOI_MARK = "10."
+_ARXIV_MARK = "arxiv"
+
+
+def _batch_extract(batch: pd.DataFrame, replace_arxiv: bool,
+                   with_text: bool) -> pd.DataFrame:
+    n = len(batch)
+    url = batch["url"]
+    html = batch["html"]
+    text = batch["text"]
+    cached = batch["cached_identifier"] if "cached_identifier" in batch.columns else None
+
+    # ---- vectorized prefilter (JVM rows -> skip regex work wholesale) ----
+    # Decode html once per row (needed for extracted_text anyway) and build
+    # a lowercase haystack per row; misses are decided without the kernel.
+    html_str = html.map(
+        lambda b: b.decode("utf-8", errors="replace") if isinstance(b, (bytes, bytearray)) else (b or "")
+    )
+    hay = (url.fillna("") + "\x00" + text.fillna("") + "\x00" + html_str).str.lower()
+    candidate = hay.str.contains(_DOI_MARK, regex=False) | hay.str.contains(
+        _ARXIV_MARK, regex=False
+    )
+    if cached is not None:
+        candidate = candidate | cached.notna()
+
+    out = {
+        "url": url.tolist(),
+        "identifier": [None] * n,
+        "identifier_type": [None] * n,
+        "method": [None] * n,
+        "tier": [None] * n,
+        "extracted_text": [None] * n,
+    }
+
+    html_list = html_str.tolist()
+    text_list = text.tolist()
+    cand_list = candidate.tolist()
+    cached_list = cached.tolist() if cached is not None else [None] * n
+
+    for i in range(n):
+        h = html_list[i]
+        if with_text:
+            out["extracted_text"][i] = extract_main_content(h)
+        if not cand_list[i]:
+            continue  # prefilter: provably no identifier material
+        res = extract_one(
+            out["url"][i],
+            extract_meta(h),
+            page_text_units(h, text_list[i]),
+            cached_identifier=cached_list[i],
+            replace_arxiv=replace_arxiv,
+        )
+        out["identifier"][i] = res["identifier"]
+        out["identifier_type"][i] = res["identifier_type"]
+        out["method"][i] = res["method"]
+        out["tier"][i] = res["tier"]
+
+    return pd.DataFrame(out)
+
+
+def extract_identifiers(pages: DataFrame, replace_arxiv: bool = True,
+                        with_text: bool = True,
+                        cache: Optional[DataFrame] = None) -> DataFrame:
+    """pages(url, html, text, ...) → result DataFrame (one fused kernel).
+
+    ``cache`` is an optional small table ``(url, identifier)`` — the Spark
+    analogue of the reference's metadata write-back memoization
+    (finders.py:587-608): it is broadcast-joined in, and cached rows resolve
+    as method #1 without touching the kernel's regex tiers.
+    """
+    cols = ["url", "html", "text"]
+    df = pages.select(*cols)
+    if cache is not None:
+        cache_small = cache.select(
+            F.col("url"), F.col("identifier").alias("cached_identifier")
+        )
+        df = df.join(F.broadcast(cache_small), on="url", how="left")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b):
+                yield _batch_extract(b, replace_arxiv, with_text)
+
+    return df.mapInPandas(run, schema=RESULT_SCHEMA)
+
+
+def method_metrics(results: DataFrame) -> DataFrame:
+    """Hit/miss audit table — the job-level observability the north rule
+    requires (extraction-stage hit/miss counters): one shuffle, map-side
+    partial aggregation for free."""
+    return (
+        results.groupBy(
+            F.coalesce(F.col("method"), F.lit("miss")).alias("method"),
+            F.coalesce(F.col("identifier_type"), F.lit("none")).alias("identifier_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("method", "identifier_type")
+    )
+
+
+def format_report(results: DataFrame) -> DataFrame:
+    """Fixed-width report rows — reference ``main.py:218-221`` format
+    ``'{:<15s} {:<40s} {:<10s}'`` with ``'n.a.'`` placeholders, reproduced
+    with native ``format_string`` (whole-stage codegen, no UDF)."""
+    return results.select(
+        F.format_string(
+            "%-15s %-40s %-10s",
+            F.coalesce(F.col("identifier_type"), F.lit("n.a.")),
+            F.coalesce(F.col("identifier"), F.lit("n.a.")),
+            F.col("url"),
+        ).alias("report_line")
+    )

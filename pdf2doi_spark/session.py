@@ -1,0 +1,70 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Tuned for the 100 TB design point even though tests run on local[N]:
+
+- AQE on (runtime shuffle-partition coalescing + skew-join splitting —
+  Common-Crawl domains are Zipfian, so skew handling must be on by default);
+- Arrow execution on, with a bounded records-per-batch: pages rows carry
+  multi-hundred-KB ``html`` payloads, so the default 10k-row Arrow batch
+  would be multi-GB. 512 rows × ~200 KB ≈ 100 MB per Python-worker batch,
+  which keeps executor + worker memory bounded regardless of page size;
+- 128 MB file-split target so a 100 TB scan yields ~800k well-sized input
+  tasks instead of a few giant ones.
+"""
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+ARROW_BATCH_ROWS = 512
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship the ``pdf2doi_spark`` package to executors.
+
+    Equivalent of ``spark-submit --py-files pipeline.zip`` for sessions
+    built programmatically: zips the installed package once and registers
+    it via ``addPyFile`` so every Python worker can import the pure-Python
+    core regardless of the driver's working directory.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "pdf2doi_spark_pyfiles.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_STORED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.join(
+                    "pdf2doi_spark", os.path.relpath(full, pkg_dir)
+                )
+                zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+
+
+def build_session(master: str | None = None, app_name: str = "pdf2doi_spark",
+                  shuffle_partitions: int | None = None) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    spark = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    ship_package(spark)
+    return spark

@@ -1,0 +1,121 @@
+"""End-to-end Spark pipeline parity: synthesised pages → fused kernel →
+per-row comparison against the pure-Python oracle (north-rule invariant:
+byte-identical extracted_text and identifier per url)."""
+import pandas as pd
+import pytest
+
+from pdf2doi_spark.pages import (
+    build_page,
+    category_of,
+    expected_for_page,
+    pages_from_documents,
+)
+
+
+@pytest.fixture(scope="module")
+def results_vs_expected(spark, sf_dir):
+    from pdf2doi_spark.operators.extract import extract_identifiers
+
+    docs_pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    pages = pages_from_documents(spark, sf_dir)
+    got = extract_identifiers(pages).toPandas().set_index("url")
+
+    expected = {}
+    for row in docs_pdf.itertuples():
+        exp = expected_for_page(int(row.doc_id), row.text, row.lang, row.source)
+        expected[exp["url"]] = exp
+    return got, expected, docs_pdf
+
+
+def test_row_count_and_urls(results_vs_expected):
+    got, expected, docs = results_vs_expected
+    assert len(got) == len(docs)
+    assert set(got.index) == set(expected.keys())
+
+
+def test_identifier_parity_per_url(results_vs_expected):
+    got, expected, _ = results_vs_expected
+    mismatches = []
+    for url, exp in expected.items():
+        g = got.loc[url]
+        for k in ("identifier", "identifier_type", "method"):
+            gv = g[k] if pd.notna(g[k]) else None
+            if gv != exp[k]:
+                mismatches.append((url, k, gv, exp[k]))
+    assert not mismatches, mismatches[:10]
+
+
+def test_extracted_text_byte_identical(results_vs_expected):
+    got, expected, _ = results_vs_expected
+    bad = [
+        url
+        for url, exp in expected.items()
+        if got.loc[url]["extracted_text"] != exp["extracted_text"]
+    ]
+    assert not bad, bad[:5]
+
+
+def test_every_category_produces_expected_stage(results_vs_expected):
+    got, expected, docs = results_vs_expected
+    # Category → expected method for synthesised rows (FIXTURES.md §1).
+    want = {
+        0: "document_infos", 1: "document_text", 2: "document_infos",
+        3: "filename", 4: "filename", 5: "document_text", 6: "document_text",
+        7: "document_text", 8: "document_text", 9: "document_text",
+        10: "document_text + arxiv2doi", 11: "document_text",
+        12: "document_text", 13: "document_text", 14: None, 15: None,
+    }
+    for row in docs.itertuples():
+        cat = category_of(int(row.doc_id))
+        url, *_ = build_page(int(row.doc_id), row.text, row.lang, row.source)
+        g = got.loc[url]
+        method = g["method"] if pd.notna(g["method"]) else None
+        assert method == want[cat], (row.doc_id, cat, method, want[cat])
+
+
+def test_multi_doi_first_match_wins(results_vs_expected):
+    got, _, docs = results_vs_expected
+    from pdf2doi_spark.pages import doi_for
+
+    sample = docs[docs.doc_id % 16 == 9].head(5)
+    for row in sample.itertuples():
+        url, *_ = build_page(int(row.doc_id), row.text, row.lang, row.source)
+        assert got.loc[url]["identifier"] == doi_for(int(row.doc_id))
+
+
+def test_cache_fast_path(spark, sf_dir):
+    from pdf2doi_spark.operators.extract import extract_identifiers
+
+    pages = pages_from_documents(spark, sf_dir).limit(32)
+    some = pages.select("url").limit(4).toPandas()["url"].tolist()
+    cache = spark.createDataFrame(
+        [(u, "10.9999/cached.hit") for u in some], "url string, identifier string"
+    )
+    res = (
+        extract_identifiers(pages, cache=cache, with_text=False)
+        .toPandas()
+        .set_index("url")
+    )
+    for u in some:
+        assert res.loc[u]["identifier"] == "10.9999/cached.hit"
+        assert res.loc[u]["method"] == "document_infos"
+        assert res.loc[u]["tier"] == -1
+
+
+def test_metrics_and_report(spark, sf_dir):
+    from pdf2doi_spark.operators.extract import (
+        extract_identifiers,
+        format_report,
+        method_metrics,
+    )
+
+    pages = pages_from_documents(spark, sf_dir).limit(64)
+    res = extract_identifiers(pages, with_text=False)
+    m = method_metrics(res).toPandas()
+    assert m["n_docs"].sum() == 64
+    assert set(m.columns) == {"method", "identifier_type", "n_docs"}
+
+    lines = format_report(res).toPandas()["report_line"]
+    assert all(line[15] == " " or len(line) >= 56 for line in lines)
+    # n.a. placeholders present for misses
+    assert any(line.startswith("n.a.") for line in lines)
