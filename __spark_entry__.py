@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction cascade on the sf0.001 pages
+table (synthesised deterministically from documents.parquet — see
+pdf2doi_spark/pages.py). ``queries()``/``oracle_sql()`` expose every
+implemented operator from SURVEY.md §2 plus the training-data-pipeline
+family; oracles are exact DuckDB SQL wherever the semantics are
+SQL-expressible (including the flagship cascade itself, whose synthetic
+input makes the expected output closed-form).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: identifier + main-content extraction over the
+    sf0.001 pages table; one fused Arrow kernel, no driver-side loops."""
+    from pdf2doi_spark.queries import _ensure_shipped
+    from pdf2doi_spark.operators.extract import extract_identifiers
+    from pdf2doi_spark.pages import pages_from_documents
+
+    _ensure_shipped(spark)
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    return extract_identifiers(pages)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pdf2doi_spark.queries import build_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pdf2doi_spark.queries import build_oracles
+
+    return build_oracles()

@@ -78,14 +78,18 @@ def distinct_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 # ---------------------------------------------------------------- minhash-lsh
 
+def _keyed_min_md5(col: Column, seed: str) -> Column:
+    # NOTE: the lambda must stay unary — a two-parameter lambda makes
+    # F.transform bind the second parameter to the array-index Column
+    # (the index-aware variant), silently changing the hash seed.
+    return F.array_min(F.transform(col, lambda s: F.md5(F.concat(F.lit(seed), s))))
+
+
 def minhash_signature(col: Column, num_hashes: int = 12) -> List[Column]:
     """k min-hash values for a shingle-array column: for seed i, the
     lexicographic min over shingles of md5(i || ':' || shingle)."""
     return [
-        F.array_min(
-            F.transform(col, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
-        ).alias(f"mh{i}")
-        for i in range(num_hashes)
+        _keyed_min_md5(col, f"{i}:").alias(f"mh{i}") for i in range(num_hashes)
     ]
 
 
@@ -212,24 +216,48 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(F.col("doc_id"), sh(F.col(text_col)).alias("simhash"))
 
 
+_SIMHASH_BANDS = 4  # 4 × 16-bit chunks
+
+
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, candidate-
-    bucketed on the top 16 bits (so the self-join shuffles on a small key,
-    never all-pairs)."""
-    s = simhash(df, text_col).withColumn(
-        "bucket", F.shiftrightunsigned(F.col("simhash"), _SIMHASH_BITS - 16)
-    )
-    a, b = s.alias("a"), s.alias("b")
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Candidate generation bands the 64-bit fingerprint into four 16-bit
+    chunks and self-joins on (band_idx, chunk): by pigeonhole, any pair
+    with ≤ 3 differing bits shares at least one chunk exactly, so recall is
+    complete for max_hamming ≤ 3 (probabilistic above). The join shuffles
+    on the small banded key — never all-pairs.
+    """
+    s = simhash(df, text_col)
+    bands = s.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    (
+                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                    ).alias("chunk"),
+                )
+                for i in range(_SIMHASH_BANDS)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.band_idx").alias("band_idx"),
+             F.col("b.chunk").alias("chunk"))
+    a, b = bands.alias("a"), bands.alias("b")
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.chunk") == F.col("b.chunk"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
+        .distinct()
         .filter(F.col("hamming") <= max_hamming)
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-                "hamming")
         .orderBy("doc_a", "doc_b")
     )

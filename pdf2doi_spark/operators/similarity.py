@@ -1,0 +1,126 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding:
+array<float>, label).
+
+Two paths, per the driver mandate:
+
+* **Brute-force cosine top-k** — the correctness baseline. Pure native
+  expressions: ``zip_with`` for the elementwise product, ``aggregate`` for
+  the sums, all in double precision with a fixed left-to-right order so
+  Spark, DuckDB, and numpy agree bit-for-bit at comparable rounding. One
+  narrow map + a global top-k (``orderBy … limit``, which Spark executes
+  as per-partition top-k + driver merge — no full sort shuffle of the
+  table at scale).
+* **LSH-bucketed ANN** — the scale path: deterministic random-hyperplane
+  signatures (hash-derived ±1 planes, no RNG) give each vector a signature
+  bucket; search touches only the query's bucket (a pushed-down filter on
+  the signature column, which a real deployment stores partitioned/
+  bucketed so the scan prunes). Recall/latency trade is bands × bits.
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(df: DataFrame, query: Sequence[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k against a constant query vector.
+
+    The query vector is inlined as a literal array (it rides the task
+    closure — no join, no shuffle); ranking is deterministic with vec_id as
+    tiebreak.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = df.select(
+        F.col(id_col),
+        F.round(
+            _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q)), 6
+        ).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+# ------------------------------------------------------------------ LSH ANN
+
+def _plane_signs(n_planes: int, dim: int) -> List[List[int]]:
+    """Deterministic ±1 hyperplanes: sign = parity of md5(plane:dim).
+    Hash-derived, so every run/executor/engine builds identical planes."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).digest()[0]
+            row.append(1 if h & 1 else -1)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature_col(vec_col: Column, planes: List[List[int]]) -> Column:
+    """Bit-string signature: one bit per hyperplane (sign of projection)."""
+    bits = []
+    for row in planes:
+        signs = F.array(*[F.lit(float(s)) for s in row])
+        proj = _dot(vec_col, signs)
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def ann_lsh_topk(df: DataFrame, query: Sequence[float], k: int = 10,
+                 n_planes: int = 8, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: exact cosine, but only within the query's
+    hyperplane-signature bucket. At 10^12 vectors the signature is a
+    partition/bucket column, so this is a partition-pruned scan of
+    ~1/2^n_planes of the data instead of a full sweep."""
+    planes = _plane_signs(n_planes, len(query))
+    qsig = "".join(
+        "1" if sum(s * float(x) for s, x in zip(row, query)) >= 0 else "0"
+        for row in planes
+    )
+    bucketed = df.withColumn("lsh_sig", lsh_signature_col(F.col(vec_col), planes))
+    candidates = bucketed.filter(F.col("lsh_sig") == F.lit(qsig))
+    return cosine_topk(candidates, query, k, id_col, vec_col)
+
+
+def pairwise_label_centroids(df: DataFrame, vec_col: str = "embedding",
+                             label_col: str = "label") -> DataFrame:
+    """Per-label centroid vectors — the aggregation building block for IVF
+    coarse quantisation (map-side partial aggregation of element-wise sums;
+    one shuffle on the small label key)."""
+    # Element-wise mean: posexplode once (fixed small dim), aggregate per
+    # (label, pos) with map-side combine, reassemble ordered arrays.
+    exploded = df.select(label_col, F.posexplode(vec_col).alias("pos", "val"))
+    return (
+        exploded.groupBy(label_col, "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("mean_val"))
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("mean_val")))
+                ),
+                lambda s: F.round(s["mean_val"], 6),
+            ).alias("centroid")
+        )
+        .orderBy(label_col)
+    )

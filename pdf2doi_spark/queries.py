@@ -1,0 +1,737 @@
+"""Driver-contract query builders + DuckDB oracle SQL.
+
+Every entry pairs a PySpark query (callable ``(spark, sf_dir) -> DataFrame``)
+with an ANSI-SQL oracle that DuckDB evaluates over the same parquet tables.
+Column names/aliases are kept identical on both sides (the driver's compare
+sorts columns by name before value-hashing).
+
+Inputs are synthesised *deterministically in SQL-expressible form* from the
+provided tables (documents/embeddings), so both engines construct
+bit-identical inputs — no side-channel files. Where a kernel is genuinely
+not SQL-expressible (fused cascade's extracted_text, SimHash, LSH-ANN) the
+oracle is omitted and the driver records the weaker rows-only check; the
+flagship cascade itself HAS an exact oracle because the synthetic pages
+are a pure function of doc_id (see ``pages.py``) and the expected outcome
+per row category is a closed-form CASE expression.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from pdf2doi_spark.core.patterns import arxiv_regexp, doi_regexp
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_SHIPPED = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    from pdf2doi_spark.session import ship_package
+
+    key = id(spark.sparkContext)
+    if key not in _SHIPPED:
+        ship_package(spark)
+        _SHIPPED.add(key)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------------------
+# Deterministic SQL-expressible synthesis helpers (Spark side). The DuckDB
+# oracle mirrors each with the same arithmetic.
+# --------------------------------------------------------------------------
+
+def _doi_col() -> F.Column:
+    reg = (F.lit(1000) + (F.col("doc_id") * 7919) % 9000).cast("string")
+    return F.concat(F.lit("10."), reg, F.lit("/j.test."), F.col("doc_id").cast("string"))
+
+
+_DOI_SQL = "'10.' || CAST(1000 + (doc_id*7919)%9000 AS VARCHAR) || '/j.test.' || CAST(doc_id AS VARCHAR)"
+
+
+def _arxiv_col() -> F.Column:
+    yymm = (F.lit(1501) + (F.col("doc_id") * 37) % 900).cast("string")
+    num = (F.lit(10000) + F.col("doc_id") % 80000).cast("string")
+    return F.concat(yymm, F.lit("."), num)
+
+
+_ARXIV_SQL = (
+    "CAST(1501 + (doc_id*37)%900 AS VARCHAR) || '.' || "
+    "CAST(10000 + doc_id%80000 AS VARCHAR)"
+)
+
+
+def _extract(col: F.Column, pattern: str) -> F.Column:
+    hit = F.regexp_extract(F.lower(col), pattern, 1)
+    return F.when(hit == "", F.lit(None)).otherwise(hit)
+
+
+def _sql_extract(expr: str, pattern: str) -> str:
+    p = pattern.replace("'", "''")
+    return f"NULLIF(regexp_extract(lower({expr}), '{p}', 1), '')"
+
+
+# --------------------------------------------------------------------------
+# Regex tier queries (F3/F6, F4/F7): every third document gets an embedded
+# identifier in the tier's shape; the rest stay misses.
+# --------------------------------------------------------------------------
+
+def _tier_query(tier: int, mk_text: Callable[[F.Column], F.Column],
+                mk_text_sql: str) -> tuple:
+    pattern = doi_regexp[tier]
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = _docs(spark, sf_dir)
+        inp = F.when(F.col("doc_id") % 3 == 0, mk_text(_doi_col())).otherwise(
+            F.col("text")
+        )
+        return d.select(
+            F.col("doc_id"), _extract(inp, pattern).alias("doi_found")
+        )
+
+    sql = f"""
+        SELECT doc_id,
+               {_sql_extract(f"CASE WHEN doc_id % 3 = 0 THEN {mk_text_sql} ELSE text END", pattern)} AS doi_found
+        FROM documents
+    """
+    return q, sql
+
+
+def _q_doi_tier0():
+    return _tier_query(
+        0,
+        lambda doi: F.concat(F.lit("see doi: "), doi, F.lit(" end")),
+        f"'see doi: ' || {_DOI_SQL} || ' end'",
+    )
+
+
+def _q_doi_tier1():
+    return _tier_query(
+        1,
+        lambda doi: F.concat(F.lit("bare "), doi, F.lit(" follows")),
+        f"'bare ' || {_DOI_SQL} || ' follows'",
+    )
+
+
+def _q_doi_tier2():
+    return _tier_query(
+        2,
+        lambda doi: F.concat(F.lit("runon "), doi, F.lit("and more")),
+        f"'runon ' || {_DOI_SQL} || 'and more'",
+    )
+
+
+def _q_doi_tier3():
+    return _tier_query(
+        3,
+        lambda doi: F.concat(F.lit("at https://doi.org/"), doi, F.lit(" now")),
+        f"'at https://doi.org/' || {_DOI_SQL} || ' now'",
+    )
+
+
+def _q_doi_tier4():
+    return _tier_query(4, lambda doi: doi, _DOI_SQL)
+
+
+def _q_arxiv_tier0():
+    pattern = arxiv_regexp[0]
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = _docs(spark, sf_dir)
+        inp = F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("preprint arxiv: "), _arxiv_col(), F.lit(" online")),
+        ).otherwise(F.col("text"))
+        return d.select(F.col("doc_id"), _extract(inp, pattern).alias("arxiv_found"))
+
+    sql = f"""
+        SELECT doc_id,
+               {_sql_extract(f"CASE WHEN doc_id % 3 = 0 THEN 'preprint arxiv: ' || {_ARXIV_SQL} || ' online' ELSE text END", arxiv_regexp[0])} AS arxiv_found
+        FROM documents
+    """
+    return q, sql
+
+
+# --------------------------------------------------------------------------
+# standardise_doi (F2): engine of record is the Python kernel (pandas UDF);
+# oracle reproduces it for single-DOI inputs via group extraction.
+# --------------------------------------------------------------------------
+
+def _q_standardise():
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+
+        @pandas_udf("string")
+        def std(s: pd.Series) -> pd.Series:
+            from pdf2doi_spark.core.patterns import standardise_doi
+
+            return s.map(lambda x: standardise_doi(x) if x is not None else None)
+
+        d = _docs(spark, sf_dir)
+        sep = F.when(F.col("doc_id") % 4 == 0, F.lit(":")).when(
+            F.col("doc_id") % 4 == 1, F.lit(" ")
+        ).when(F.col("doc_id") % 4 == 2, F.lit("]")).otherwise(F.lit("/"))
+        reg = (F.lit(1000) + (F.col("doc_id") * 7919) % 9000).cast("string")
+        suspected = F.concat(
+            F.lit("10."), reg, sep, F.lit("j.test."), F.col("doc_id").cast("string")
+        )
+        return d.select(
+            F.col("doc_id"), std(suspected).alias("doi_standard")
+        )
+
+    # Single-DOI inputs by construction: registrant + '/' + suffix.
+    sql = """
+        SELECT doc_id,
+               '10.' || CAST(1000 + (doc_id*7919)%9000 AS VARCHAR) || '/j.test.' || CAST(doc_id AS VARCHAR) AS doi_standard
+        FROM documents
+    """
+    return q, sql
+
+
+# --------------------------------------------------------------------------
+# Filename stage primitives (F9/F10): URL-decode + tier extraction.
+# --------------------------------------------------------------------------
+
+def _q_filename_extract():
+    pattern = doi_regexp[1]
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = _docs(spark, sf_dir)
+        url = F.concat(
+            F.lit("https://repo.org/p/"),
+            F.regexp_replace(_doi_col(), "/", "%2F"),
+            F.lit(".pdf"),
+        )
+        basename = F.element_at(F.split(url, "/"), -1)
+        decoded = F.url_decode(basename)
+        return d.select(
+            F.col("doc_id"), _extract(decoded, pattern).alias("doi_found")
+        )
+
+    sql = f"""
+        SELECT doc_id,
+               {_sql_extract(f"replace(replace({_DOI_SQL}, '/', '%2F') || '.pdf', '%2F', '/')", pattern)} AS doi_found
+        FROM documents
+    """
+    return q, sql
+
+
+# --------------------------------------------------------------------------
+# Flagship: fused extraction cascade over the synthesised pages table.
+# Exact oracle: the synthetic pages are a pure function of doc_id, so the
+# expected (url, identifier, identifier_type, method) is closed-form SQL.
+# --------------------------------------------------------------------------
+
+_HOSTS_SQL = (
+    "CASE WHEN (doc_id*2654435761)%100 < 20 THEN 'archive-hub.org' "
+    "WHEN (doc_id*2654435761)%100 < 35 THEN 'openpapers.net' "
+    "WHEN (doc_id*2654435761)%100 < 45 THEN 'scholarmirror.com' "
+    "WHEN (doc_id*2654435761)%100 < 52 THEN 'crawlcache.io' "
+    "ELSE (['webtext.example','docs-depot.org','paperstash.net','mirror-a.org',"
+    "'mirror-b.org','mirror-c.org','longtail-1.org','longtail-2.org','longtail-3.org',"
+    "'longtail-4.org','longtail-5.org','longtail-6.org','longtail-7.org',"
+    "'longtail-8.org','longtail-9.org','longtail-10.org'])[1 + (doc_id*40503)%16] END"
+)
+
+_CASCADE_EXPECT_SQL = f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               doc_id % 16 AS cat,
+               {_DOI_SQL} AS doi,
+               {_ARXIV_SQL} AS axv,
+               {_HOSTS_SQL} AS host
+        FROM documents
+    )
+    SELECT
+        CASE WHEN cat = 3 THEN 'https://' || host || '/' || source || '/' || replace(doi, '/', '%2F') || '.pdf'
+             WHEN cat = 4 THEN 'https://' || host || '/files/' || replace(doi, '/', '%2F') || '.html'
+             ELSE 'https://' || host || '/' || source || '/page-' || CAST(doc_id AS VARCHAR) || '.html'
+        END AS url,
+        CASE WHEN cat IN (14, 15) THEN NULL
+             WHEN cat = 3 THEN doi || '.pdf'
+             WHEN cat = 4 THEN doi || '.html'
+             WHEN cat = 7 THEN doi || 'and'
+             WHEN cat = 10 THEN '10.48550/arXiv.' || axv
+             ELSE doi
+        END AS identifier,
+        CASE WHEN cat IN (14, 15) THEN NULL
+             WHEN cat = 10 THEN 'arxiv DOI'
+             ELSE 'DOI'
+        END AS identifier_type,
+        CASE WHEN cat IN (14, 15) THEN NULL
+             WHEN cat IN (0, 2) THEN 'document_infos'
+             WHEN cat IN (3, 4) THEN 'filename'
+             WHEN cat = 10 THEN 'document_text + arxiv2doi'
+             ELSE 'document_text'
+        END AS method
+    FROM base
+"""
+
+
+def _q_extract_cascade():
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        from pdf2doi_spark.operators.extract import extract_identifiers
+        from pdf2doi_spark.pages import pages_from_documents
+
+        pages = pages_from_documents(spark, sf_dir)
+        return extract_identifiers(pages, with_text=False).select(
+            "url", "identifier", "identifier_type", "method"
+        )
+
+    return q, _CASCADE_EXPECT_SQL
+
+
+def _q_method_metrics():
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        from pdf2doi_spark.operators.extract import extract_identifiers, method_metrics
+        from pdf2doi_spark.pages import pages_from_documents
+
+        pages = pages_from_documents(spark, sf_dir)
+        return method_metrics(extract_identifiers(pages, with_text=False))
+
+    sql = f"""
+        SELECT coalesce(method, 'miss') AS method,
+               coalesce(identifier_type, 'none') AS identifier_type,
+               count(*) AS n_docs
+        FROM ({_CASCADE_EXPECT_SQL})
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    return q, sql
+
+
+def _q_main_content():
+    # Not SQL-expressible (HTML tokenizer) -> rows-only driver check; the
+    # byte-parity guarantee is enforced by tests/test_extract_spark.py
+    # against the vendored Python oracle.
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        from pdf2doi_spark.operators.extract import extract_identifiers
+        from pdf2doi_spark.pages import pages_from_documents
+
+        pages = pages_from_documents(spark, sf_dir)
+        return extract_identifiers(pages).select("url", "extracted_text")
+
+    return q, None
+
+
+def _q_report_format():
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        from pdf2doi_spark.operators.extract import (
+            extract_identifiers,
+            format_report,
+        )
+        from pdf2doi_spark.pages import pages_from_documents
+
+        pages = pages_from_documents(spark, sf_dir)
+        return format_report(extract_identifiers(pages, with_text=False))
+
+    sql = f"""
+        SELECT printf('%-15s %-40s %-10s',
+                      coalesce(identifier_type, 'n.a.'),
+                      coalesce(identifier, 'n.a.'),
+                      url) AS report_line
+        FROM ({_CASCADE_EXPECT_SQL})
+    """
+    return q, sql
+
+
+# --------------------------------------------------------------------------
+# Native scalar ops (F11 scrub, token/quality/lang/fingerprint).
+# --------------------------------------------------------------------------
+
+def _q_ascii_scrub():
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.quality import ascii_scrub
+
+        d = _docs(spark, sf_dir)
+        noisy = d.withColumn(
+            "text",
+            F.concat(F.col("text"), F.lit(" café\tnoise\nrésumé—"),
+                     F.col("doc_id").cast("string")),
+        )
+        return ascii_scrub(noisy)
+
+    sql = r"""
+        SELECT doc_id,
+               substring(
+                 translate(
+                   regexp_replace(text || ' café' || chr(9) || 'noise' || chr(10) || 'résumé—' || CAST(doc_id AS VARCHAR),
+                                  '[^\x00-\x7f]', ' ', 'g'),
+                   chr(10) || chr(13) || chr(9), '   '),
+                 1, 1000) AS scrubbed_text
+        FROM documents
+    """
+    return q, sql
+
+
+def _q_token_count():
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.quality import token_count
+
+        return token_count(_docs(spark, sf_dir))
+
+    sql = r"""
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+               CAST(ceil(length(regexp_replace(trim(text), '\s+', '', 'g')) / 4.0) AS BIGINT) AS n_subword_est
+        FROM documents
+    """
+    return q, sql
+
+
+def _q_lang_id():
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.quality import lang_id
+
+        return lang_id(_docs(spark, sf_dir))
+
+    sql = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN []
+                      ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+          FROM documents
+        )
+        SELECT doc_id,
+               round(CASE WHEN len(toks) > 0
+                          THEN len(list_filter(toks, x -> list_contains(['the','a','and','of','to'], x))) * 1.0 / len(toks)
+                          ELSE 0.0 END, 6) AS en_marker_ratio,
+               CASE WHEN len(toks) > 0 AND
+                         len(list_filter(toks, x -> list_contains(['the','a','and','of','to'], x))) * 1.0 / len(toks) > 0.02
+                    THEN 'en' ELSE 'other' END AS lang_pred
+        FROM t
+    """
+    return q, sql
+
+
+def _q_quality_score():
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.quality import quality_score
+
+        return quality_score(_docs(spark, sf_dir))
+
+    sql = r"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 CASE WHEN length(trim(text)) = 0 THEN []
+                      ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks,
+                 length(text) AS n_chars,
+                 length(text) - length(regexp_replace(text, '[\.,;:!\?\)\(]', '', 'g')) AS punct,
+                 length(regexp_replace(trim(text), '\s+', '', 'g')) AS nospace
+          FROM documents
+        ), m AS (
+          SELECT doc_id, n_chars, len(toks) AS n_tokens,
+                 CASE WHEN len(toks) > 0 THEN nospace * 1.0 / len(toks) ELSE 0.0 END AS mean_wl,
+                 CASE WHEN len(toks) > 0
+                      THEN len(list_filter(toks, x -> list_contains(['the','a','and','of','to'], x))) * 1.0 / len(toks)
+                      ELSE 0.0 END AS stop_ratio,
+                 CASE WHEN n_chars > 0 THEN punct * 1.0 / n_chars ELSE 0.0 END AS punct_ratio
+          FROM t
+        )
+        SELECT doc_id,
+               n_chars AS n_chars_seen,
+               n_tokens,
+               round(mean_wl, 6) AS mean_word_len,
+               round(stop_ratio, 6) AS stopword_ratio,
+               round(punct_ratio, 6) AS punct_ratio,
+               round((CASE WHEN n_tokens >= 10 AND mean_wl >= 2.0 AND mean_wl <= 12.0 THEN 0.5 ELSE 0.0 END)
+                   + (CASE WHEN stop_ratio > 0.01 THEN 0.3 ELSE 0.0 END)
+                   + (CASE WHEN punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END), 2) AS quality_score
+        FROM m
+    """
+    return q, sql
+
+
+def _q_fingerprint():
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.quality import fingerprint
+
+        return fingerprint(_docs(spark, sf_dir))
+
+    sql = r"""
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents
+    """
+    return q, sql
+
+
+# --------------------------------------------------------------------------
+# Dedup family.
+# --------------------------------------------------------------------------
+
+def _dup_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Guaranteed duplicates: the table unioned with a shifted copy of itself.
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    twin = d.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    return d.unionByName(twin)
+
+
+_DUP_INPUT_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 10000000 AS doc_id, text FROM documents"
+)
+
+
+def _q_exact_dup_groups():
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.dedup import exact_duplicates
+
+        return exact_duplicates(_dup_input(spark, sf_dir))
+
+    sql = rf"""
+        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+               count(*) AS n_docs,
+               min(doc_id) AS keeper_doc_id
+        FROM ({_DUP_INPUT_SQL})
+        GROUP BY 1 HAVING count(*) > 1 ORDER BY fp
+    """
+    return q, sql
+
+
+_SHINGLE_SQL = r"""
+        WITH words AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+          FROM words WHERE len(w) >= 3
+        )
+"""
+
+
+def _q_minhash_bands():
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.dedup import minhash_bands
+
+        return minhash_bands(_docs(spark, sf_dir))
+
+    sql = _SHINGLE_SQL + r"""
+        , sig AS (
+          SELECT doc_id,
+                 [list_aggregate(list_transform(s, x -> md5(CAST(k AS VARCHAR) || ':' || x)), 'min')
+                  for k in range(0, 12)] AS mh
+          FROM sh
+        )
+        SELECT doc_id, CAST(b AS INT) AS band_idx,
+               md5(array_to_string(mh[b*3+1 : b*3+3], '|')) AS band_hash
+        FROM sig, (SELECT unnest(range(0, 4)) AS b)
+    """
+    return q, sql
+
+
+def _q_simhash():
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        from pdf2doi_spark.operators.dedup import simhash
+
+        return simhash(_docs(spark, sf_dir))
+
+    return q, None  # bit-vote kernel: rows-only check
+
+
+def _q_minhash_near_dups():
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.dedup import minhash_near_duplicates
+
+        return minhash_near_duplicates(_dup_input(spark, sf_dir), threshold=0.99)
+
+    # Exact-duplicate pairs (jaccard 1.0) are closed-form on the doubled
+    # input: every doc pairs with its twin; docs whose normalised text
+    # collides with another doc also pair. Expressible via fingerprint join.
+    sql = rf"""
+        WITH inp AS ({_DUP_INPUT_SQL}),
+        fp AS (
+          SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f,
+                 len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS nw
+          FROM inp
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1.0 AS jaccard
+        FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+        WHERE a.nw >= 3
+        ORDER BY doc_a, doc_b
+    """
+    return q, sql
+
+
+# --------------------------------------------------------------------------
+# Similarity family.
+# --------------------------------------------------------------------------
+
+def _q_cosine_topk():
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.similarity import cosine_topk
+
+        e = _emb(spark, sf_dir)
+        qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+        return cosine_topk(e, qvec, k=10)
+
+    sql = """
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+               round(
+                 list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                  list_transform(q.qv, x -> CAST(x AS DOUBLE)))
+                 / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                          list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                    * sqrt(list_dot_product(list_transform(q.qv, x -> CAST(x AS DOUBLE)),
+                                            list_transform(q.qv, x -> CAST(x AS DOUBLE))))),
+                 6) AS cosine
+        FROM embeddings e, q
+        ORDER BY cosine DESC, e.vec_id
+        LIMIT 10
+    """
+    return q, sql
+
+
+def _q_ann_lsh_topk():
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.similarity import ann_lsh_topk
+
+        e = _emb(spark, sf_dir)
+        qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+        return ann_lsh_topk(e, qvec, k=10, n_planes=6)
+
+    return q, None  # hash-derived hyperplanes: rows-only check
+
+
+def _q_label_centroids():
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.similarity import pairwise_label_centroids
+
+        return pairwise_label_centroids(_emb(spark, sf_dir))
+
+    sql = """
+        WITH e AS (
+          SELECT label,
+                 generate_subscripts(embedding, 1) - 1 AS pos,
+                 unnest(embedding) AS val
+          FROM embeddings
+        )
+        SELECT label,
+               list(round(mean_val, 6) ORDER BY pos) AS centroid
+        FROM (
+          SELECT label, pos, avg(CAST(val AS DOUBLE)) AS mean_val
+          FROM e GROUP BY label, pos
+        )
+        GROUP BY label ORDER BY label
+    """
+    return q, sql
+
+
+# --------------------------------------------------------------------------
+# Title selection (T5/T6 + F13/F14/F15 pipeline as native array ops).
+# --------------------------------------------------------------------------
+
+def _q_title_select():
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = _docs(spark, sf_dir)
+        cands = F.array(
+            F.substring(F.col("text"), 1, 8),
+            F.substring(F.col("text"), 1, 40),
+            F.substring(F.col("text"), 1, 40),
+            F.substring(F.col("text"), 1, 25),
+            F.lit("tiny"),
+        )
+        # F13 length filter -> F14 order-preserving dedupe -> F15 sort by
+        # length desc (value asc tiebreak) -> first.
+        kept = F.array_distinct(
+            F.filter(cands, lambda x: F.length(F.trim(x)) > 12)
+        )
+        ranked = F.array_sort(
+            F.transform(
+                kept, lambda x: F.struct((-F.length(x)).alias("neg"), x.alias("t"))
+            )
+        )
+        return d.select(
+            F.col("doc_id"),
+            F.size(kept).alias("n_candidates"),
+            F.element_at(ranked, 1)["t"].alias("best_title"),
+        )
+
+    sql = """
+        WITH c AS (
+          SELECT doc_id, unnest(list_distinct_preserve) AS title
+          FROM (
+            SELECT doc_id,
+                   list_filter(
+                     list_distinct([substring(text,1,8), substring(text,1,40),
+                                    substring(text,1,40), substring(text,1,25), 'tiny']),
+                     x -> length(trim(x)) > 12) AS list_distinct_preserve
+            FROM documents
+          )
+        ), ranked AS (
+          SELECT doc_id, title,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY length(title) DESC, title ASC) AS rn,
+                 count(*) OVER (PARTITION BY doc_id) AS n_candidates
+          FROM c
+        )
+        SELECT d.doc_id,
+               coalesce(r.n_candidates, 0) AS n_candidates,
+               r.title AS best_title
+        FROM documents d LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (doc_id)
+    """
+    return q, sql
+
+
+# --------------------------------------------------------------------------
+# Registry.
+# --------------------------------------------------------------------------
+
+_BUILDERS = {
+    "extract_cascade": _q_extract_cascade,
+    "method_metrics": _q_method_metrics,
+    "main_content": _q_main_content,
+    "report_format": _q_report_format,
+    "doi_tier0": _q_doi_tier0,
+    "doi_tier1": _q_doi_tier1,
+    "doi_tier2": _q_doi_tier2,
+    "doi_tier3": _q_doi_tier3,
+    "doi_tier4": _q_doi_tier4,
+    "arxiv_tier0": _q_arxiv_tier0,
+    "standardise_doi": _q_standardise,
+    "filename_extract": _q_filename_extract,
+    "ascii_scrub": _q_ascii_scrub,
+    "token_count": _q_token_count,
+    "lang_id": _q_lang_id,
+    "quality_score": _q_quality_score,
+    "doc_fingerprint": _q_fingerprint,
+    "exact_dup_groups": _q_exact_dup_groups,
+    "minhash_bands": _q_minhash_bands,
+    "minhash_near_dups": _q_minhash_near_dups,
+    "simhash": _q_simhash,
+    "cosine_topk": _q_cosine_topk,
+    "ann_lsh_topk": _q_ann_lsh_topk,
+    "label_centroids": _q_label_centroids,
+    "title_select": _q_title_select,
+}
+
+
+def build_queries() -> Dict[str, QueryFn]:
+    return {name: builder()[0] for name, builder in _BUILDERS.items()}
+
+
+def build_oracles() -> Dict[str, str]:
+    out = {}
+    for name, builder in _BUILDERS.items():
+        sql = builder()[1]
+        if sql is not None:
+            out[name] = sql
+    return out

@@ -1,0 +1,72 @@
+"""Incremental extraction over a growing pages directory.
+
+The reference is strictly batch (directory scan, main.py:60-82); this is
+the optional Structured-Streaming extension (SURVEY.md §7): new page files
+appear in a landing directory (in production: Iceberg incremental
+snapshots), each micro-batch runs the SAME fused extraction kernel, and
+results append to the results sink. Because ``extract_identifiers`` is a
+pure DataFrame→DataFrame transformation, batch and streaming share one
+code path — no semantics can drift between them.
+
+Late data / watermarks: extraction itself is stateless per row, so no
+watermark is needed for the kernel; the optional windowed hit-rate metric
+shows the stateful pattern (event-time window on warc_ts + watermark).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pdf2doi_spark.operators.extract import extract_identifiers
+from pdf2doi_spark.pages import PAGES_SCHEMA
+
+
+def read_pages_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """File-source stream of pages parquet (one-file-at-a-time trigger
+    control is the caller's choice via maxFilesPerTrigger)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(landing_dir)
+    )
+
+
+def extract_stream(pages_stream: DataFrame, replace_arxiv: bool = True) -> DataFrame:
+    """Streaming extraction: identical kernel, micro-batch execution."""
+    return extract_identifiers(
+        pages_stream.select("url", "html", "text"), replace_arxiv=replace_arxiv
+    )
+
+
+def windowed_hit_rate(pages_stream: DataFrame, replace_arxiv: bool = True) -> DataFrame:
+    """Per-10-minute-crawl-window hit counts with a 30-minute watermark —
+    the stateful-aggregation pattern for late-arriving WARC records."""
+    res = extract_identifiers(
+        pages_stream.select("url", "html", "text"),
+        replace_arxiv=replace_arxiv, with_text=False,
+    )
+    joined = pages_stream.select("url", "warc_ts").join(res, "url")
+    return (
+        joined.withWatermark("warc_ts", "30 minutes")
+        .groupBy(F.window("warc_ts", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("identifier").alias("n_hits"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_docs", "n_hits")
+    )
+
+
+def run_stream_once(spark: SparkSession, landing_dir: str, out_dir: str) -> None:
+    """Drain everything currently in the landing dir (trigger
+    availableNow), append results, stop — the incremental-crawl unit run."""
+    stream = read_pages_stream(spark, landing_dir)
+    q = (
+        extract_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", f"{out_dir}/results")
+        .option("checkpointLocation", f"{out_dir}/checkpoint")
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()

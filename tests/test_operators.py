@@ -1,0 +1,266 @@
+"""Operator tests: quality, dedup, similarity, multimodal, sinks, streaming.
+
+Oracle strategy: cross-check against duckdb/numpy where a second engine
+adds signal; otherwise assert pinned deterministic expectations.
+"""
+import math
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- quality
+
+def test_token_count_matches_duckdb(docs, sf_dir):
+    from pdf2doi_spark.operators.quality import token_count
+
+    got = token_count(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    want = duckdb.sql(
+        f"""
+        SELECT doc_id,
+               CASE WHEN length(trim(text))=0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+               CAST(ceil(length(regexp_replace(trim(text), '\\s+', '', 'g')) / 4.0) AS BIGINT) AS n_subword_est
+        FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_quality_and_lang(docs):
+    from pdf2doi_spark.operators.quality import lang_id, quality_score
+
+    q = quality_score(docs).toPandas()
+    assert (q["quality_score"] >= 0).all() and (q["quality_score"] <= 1).all()
+    assert (q["n_tokens"] > 0).all()
+
+    l = lang_id(docs).toPandas()
+    assert set(l["lang_pred"].unique()) <= {"en", "other"}
+    # synthetic corpus contains 'the'/'a' words -> at least some 'en'
+    assert (l["lang_pred"] == "en").any()
+
+
+def test_ascii_scrub_semantics(spark):
+    from pdf2doi_spark.operators.quality import ascii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "héllo\tworld\nrésumé " + "x" * 2000)], "doc_id long, text string"
+    )
+    out = ascii_scrub(df).collect()[0]["scrubbed_text"]
+    assert len(out) == 1000
+    assert "\t" not in out and "\n" not in out
+    # non-ASCII replaced by spaces (reference finders.py:844)
+    assert "h llo world r sum" in out
+
+
+# ---------------------------------------------------------------- dedup
+
+def test_exact_duplicates(spark):
+    from pdf2doi_spark.operators.dedup import distinct_documents, exact_duplicates
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "Alpha  beta   GAMMA"), (3, "unrelated text")],
+        "doc_id long, text string",
+    )
+    dups = exact_duplicates(df).toPandas()
+    assert len(dups) == 1
+    assert dups.iloc[0]["n_docs"] == 2
+    assert dups.iloc[0]["keeper_doc_id"] == 1
+    assert distinct_documents(df).count() == 2
+
+
+def test_minhash_near_duplicates(spark):
+    from pdf2doi_spark.operators.dedup import minhash_near_duplicates
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base.replace("today", "tonight")
+    far = "completely different content about spark shuffles and arrow batches here now"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)], "doc_id long, text string"
+    )
+    out = minhash_near_duplicates(df, threshold=0.5).toPandas()
+    pairs = set(map(tuple, out[["doc_a", "doc_b"]].values))
+    assert (1, 4) in pairs  # identical
+    assert (1, 2) in pairs or (2, 4) in pairs  # near-dup caught by some band
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_near_duplicates(spark):
+    from pdf2doi_spark.operators.dedup import simhash, simhash_near_duplicates
+
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " thirteen"), (3, "totally other words entirely")],
+        "doc_id long, text string",
+    )
+    s = simhash(df).toPandas().set_index("doc_id")["simhash"]
+    assert s[1] != 0 and s[1] != s[3]
+    out = simhash_near_duplicates(df, max_hamming=8).toPandas()
+    pairs = set(map(tuple, out[["doc_a", "doc_b"]].values))
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_minhash_determinism(spark, docs):
+    from pdf2doi_spark.operators.dedup import minhash_bands
+
+    # filter (not limit): limit's row choice is plan-dependent, and two
+    # independently-built plans must produce identical hashes.
+    subset = docs.filter(F.col("doc_id") < 50)
+    a = minhash_bands(subset).toPandas().sort_values(["doc_id", "band_idx"])
+    b = minhash_bands(subset).toPandas().sort_values(["doc_id", "band_idx"])
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+# ---------------------------------------------------------------- similarity
+
+def test_cosine_topk_matches_numpy(emb, sf_dir):
+    from pdf2doi_spark.operators.similarity import cosine_topk
+
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = np.array(pdf.iloc[0]["embedding"], dtype=np.float64)
+    M = np.stack([np.array(e, dtype=np.float64) for e in pdf["embedding"]])
+    cos = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+    order = sorted(
+        zip(pdf["vec_id"], np.round(cos, 6)), key=lambda t: (-t[1], t[0])
+    )[:10]
+
+    got = cosine_topk(emb, q.tolist(), k=10).toPandas()
+    assert list(got["vec_id"]) == [int(v) for v, _ in order]
+    np.testing.assert_allclose(got["cosine"], [c for _, c in order], atol=1e-5)
+
+
+def test_ann_lsh_bucket_subset(emb, sf_dir):
+    from pdf2doi_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = list(map(float, pdf.iloc[0]["embedding"]))
+    exact = cosine_topk(emb, q, k=1).toPandas()
+    approx = ann_lsh_topk(emb, q, k=5, n_planes=6).toPandas()
+    # the query vector itself lands in its own bucket -> must be found
+    assert int(exact.iloc[0]["vec_id"]) == int(pdf.iloc[0]["vec_id"])
+    assert int(approx.iloc[0]["vec_id"]) == int(pdf.iloc[0]["vec_id"])
+    assert len(approx) <= 5
+
+
+def test_label_centroids_shape(emb):
+    from pdf2doi_spark.operators.similarity import pairwise_label_centroids
+
+    c = pairwise_label_centroids(emb).toPandas()
+    assert len(c) == c["label"].nunique()
+    assert all(len(v) == 64 for v in c["centroid"])
+
+
+# ---------------------------------------------------------------- multimodal
+
+def test_multimodal_features(spark):
+    from pdf2doi_spark.operators.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        synth_media,
+    )
+
+    media = synth_media(spark, 24)
+    feats = extract_features(media).toPandas()
+    assert len(feats) == 24
+    assert all(len(f) == 16 for f in feats["feature"])
+    # determinism: same payload digest -> same features
+    again = extract_features(media).toPandas()
+    assert feats.sort_values("media_id")["feature"].map(tuple).tolist() == \
+        again.sort_values("media_id")["feature"].map(tuple).tolist()
+
+    plan = frame_sample_plan(media, every_ms=500).toPandas()
+    assert (plan["sample_ts_ms"].map(len) >= 2).all()
+
+
+def test_decode_stub_raises(spark):
+    from pdf2doi_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx")
+
+
+# ---------------------------------------------------------------- resumable sink
+
+def test_run_resumable_skips_done_shards(spark, sf_dir, tmp_path):
+    from pdf2doi_spark.pages import pages_from_documents
+    from pdf2doi_spark.sources.io import completed_shards, run_resumable
+
+    out = str(tmp_path / "run1")
+    pages = pages_from_documents(spark, sf_dir).limit(100).cache()
+    res1 = run_resumable(spark, pages, out, n_shards=8)
+    n1 = res1.count()
+    assert n1 == 100
+    done = completed_shards(spark, os.path.join(out, "manifest"))
+    assert len(done) > 0
+
+    # Restart: everything is done -> no new rows appended.
+    res2 = run_resumable(spark, pages, out, n_shards=8)
+    assert res2.count() == n1
+    pages.unpersist()
+
+
+def test_merge_cache_roundtrip(spark, tmp_path):
+    from pdf2doi_spark.sources.io import merge_cache
+
+    cache_path = str(tmp_path / "cache.parquet")
+    r1 = spark.createDataFrame(
+        [("u1", "10.1/a", "DOI", "document_text", 1)],
+        "url string, identifier string, identifier_type string, method string, tier int",
+    )
+    c1 = merge_cache(spark, cache_path, r1)
+    assert c1.count() == 1
+    # second run: new result for u1 wins, u2 added
+    r2 = spark.createDataFrame(
+        [("u1", "10.1/b", "DOI", "filename", 0), ("u2", "10.2/x", "DOI", "document_text", 1)],
+        "url string, identifier string, identifier_type string, method string, tier int",
+    )
+    c2 = merge_cache(spark, cache_path, r2).toPandas().set_index("url")
+    assert c2.loc["u1"]["identifier"] == "10.1/b"
+    assert c2.loc["u2"]["identifier"] == "10.2/x"
+
+
+# ---------------------------------------------------------------- streaming
+
+def test_streaming_matches_batch(spark, sf_dir, tmp_path):
+    from pdf2doi_spark.operators.extract import extract_identifiers
+    from pdf2doi_spark.pages import pages_from_documents
+    from pdf2doi_spark.streaming.incremental import run_stream_once
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "stream_out")
+    pages = pages_from_documents(spark, sf_dir).limit(64).cache()
+    pages.write.parquet(landing)
+
+    run_stream_once(spark, landing, out)
+    got = (
+        spark.read.parquet(f"{out}/results")
+        .select("url", "identifier", "method")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    want = (
+        extract_identifiers(pages)
+        .select("url", "identifier", "method")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    pages.unpersist()
