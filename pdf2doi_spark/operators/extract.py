@@ -130,6 +130,42 @@ def extract_identifiers(pages: DataFrame, replace_arxiv: bool = True,
     return df.mapInPandas(run, schema=RESULT_SCHEMA)
 
 
+def domain_of(url_col: F.Column) -> F.Column:
+    """Host part of a URL — the natural (and Zipf-skewed) grouping key of a
+    crawl."""
+    return F.regexp_extract(url_col, r"^[a-z]+://([^/]+)/", 1)
+
+
+def repartition_salted(df: DataFrame, num_partitions: int,
+                       key: str = "url") -> DataFrame:
+    """Skew-defusing repartition (north rule): distribute rows by
+    xxhash64(key) so Zipfian domains can never pile one partition high.
+    Use before the kernel when the upstream layout is domain-clustered
+    (crawls usually are: WARCs group by host)."""
+    return df.repartition(num_partitions, F.xxhash64(F.col(key)))
+
+
+def domain_counts_salted(pages: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Per-domain document counts via explicit two-phase (salted) agg:
+    phase 1 groups by (domain, salt) — at most ``salt_buckets`` partial rows
+    per domain, so no single reducer ever sees a hot domain's full row set —
+    phase 2 sums partials. Same result as a plain groupBy(domain); the plan
+    differs only in shuffle balance. (AQE can do this adaptively; the
+    explicit form is for layouts where the skew is known and extreme.)"""
+    with_salt = pages.select(
+        domain_of(F.col("url")).alias("domain"),
+        F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets)).alias("_salt"),
+    )
+    partial = with_salt.groupBy("domain", "_salt").agg(
+        F.count(F.lit(1)).alias("_partial")
+    )
+    return (
+        partial.groupBy("domain")
+        .agg(F.sum("_partial").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "domain")
+    )
+
+
 def method_metrics(results: DataFrame) -> DataFrame:
     """Hit/miss audit table — the job-level observability the north rule
     requires (extraction-stage hit/miss counters): one shuffle, map-side

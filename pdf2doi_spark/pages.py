@@ -170,8 +170,16 @@ def pages_from_documents(spark, sf_dir: str):
     Generation happens inside ``mapInPandas`` (one Arrow crossing, batch
     pandas construction) so the synthesised table scales with the input and
     never materialises on the driver.
+
+    The source is one small parquet file (a single input split), so we
+    repartition the *narrow* document rows to the session's parallelism
+    BEFORE the expansion — a few-MB shuffle that buys fully parallel HTML
+    generation + downstream extraction. (A real crawl has thousands of
+    splits and skips this.) Round-robin repartition never changes row
+    values, only placement, so results stay deterministic.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(par)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

@@ -637,6 +637,60 @@ def _q_label_centroids():
 
 
 # --------------------------------------------------------------------------
+# Skew-defused domain metrics + event-time windowing.
+# --------------------------------------------------------------------------
+
+def _q_domain_counts():
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        from pdf2doi_spark.operators.extract import domain_counts_salted
+        from pdf2doi_spark.pages import pages_from_documents
+
+        return domain_counts_salted(pages_from_documents(spark, sf_dir))
+
+    sql = f"""
+        WITH base AS (
+            SELECT doc_id, {_HOSTS_SQL} AS domain FROM documents
+        )
+        SELECT domain, count(*) AS n_docs
+        FROM base GROUP BY domain ORDER BY n_docs DESC, domain
+    """
+    return q, sql
+
+
+def _q_events_windowed():
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return (
+            e.groupBy(
+                F.window("ts", "10 minutes").alias("w"),
+                F.col("event_type"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+            .orderBy("window_start", "event_type")
+        )
+
+    sql = """
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    return q, sql
+
+
+# --------------------------------------------------------------------------
 # Title selection (T5/T6 + F13/F14/F15 pipeline as native array ops).
 # --------------------------------------------------------------------------
 
@@ -721,6 +775,8 @@ _BUILDERS = {
     "ann_lsh_topk": _q_ann_lsh_topk,
     "label_centroids": _q_label_centroids,
     "title_select": _q_title_select,
+    "domain_counts_salted": _q_domain_counts,
+    "events_windowed": _q_events_windowed,
 }
 
 
