@@ -5,10 +5,18 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
     {"metric": "...", "value": <docs/sec>, "unit": "docs/sec",
      "queries": {"<name>": sec, ...}, "sf": <sf>, ...}
 
-``--scaling`` additionally runs the flagship job at local[8] and local[32]
-on the same input and reports both throughputs + efficiency
-(eff = t4N / (4 * tN)) — the sandbox stand-in for the north rule's
-N→4N-executor requirement (see BENCH.md).
+Methodology: the flagship measures extraction over a MATERIALIZED pages
+parquet (the north-rule shape — a 100 TB job reads an existing Iceberg
+table; synthesis is test scaffolding and is timed separately as
+``pages_synth``). Every timing is steady-state: one warm pass (spins up
+Python workers, codegen, file listing), then the timed pass — a
+1000-executor job amortizes startup across hours, so steady-state is the
+design point. Set SPARK_GRAFT_BENCH_WARM=0 to time cold instead.
+
+``--scaling`` runs the flagship at local[8] and local[32] on the same
+materialized input and reports both throughputs + efficiency
+(eff = tp4N / (4 * tpN)) — the sandbox stand-in for N→4N executors
+(see BENCH.md).
 """
 from __future__ import annotations
 
@@ -21,9 +29,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+WARM = os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0"
+# The sf0.1 documents table is only 5k rows; the flagship is timed over a
+# replicated pages table so the measurement is CPU-bound, not
+# overhead-bound. Replicas are distinct deterministic pages (pages.py).
+REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "100"))
+SCALING_REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "600"))
 
 HEADLINE = [
-    "extract_cascade",
     "method_metrics",
     "doi_tier0",
     "standardise_doi",
@@ -32,83 +45,128 @@ HEADLINE = [
     "cosine_topk",
     "quality_score",
     "token_count",
+    "domain_counts_salted",
 ]
 
 
-def _force(df) -> int:
-    """Materialize fully without driver collection; returns row count."""
-    return df.count()
+def _sf_tag() -> str:
+    return SF_DIR.rstrip("/").rsplit("/", 1)[-1]
 
 
-def _run_once(spark, sf_dir: str):
-    from pdf2doi_spark.queries import build_queries
+def _pages_path(replicate: int) -> str:
+    return f"/tmp/pdf2doi_bench_pages_{_sf_tag()}_x{replicate}"
 
-    qs = build_queries()
-    timings = {}
-    n_docs = 0
-    for name in HEADLINE:
+
+def _materialize_pages(spark, sf_dir: str, replicate: int) -> tuple:
+    """Write the synthetic pages table once per (sf, replicate); return
+    (path, seconds spent synthesising or 0.0 if reused). Written with many
+    files so the scan has enough splits at every parallelism level."""
+    from pdf2doi_spark.pages import pages_from_documents
+
+    path = _pages_path(replicate)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path, 0.0
+    t0 = time.perf_counter()
+    df = pages_from_documents(spark, sf_dir, replicate=replicate)
+    if replicate > 1:
+        df = df.repartition(256)
+    df.write.mode("overwrite").parquet(path)
+    return path, round(time.perf_counter() - t0, 3)
+
+
+# Bench sessions read many small local files; the production 128 MB split
+# target would pack them into a handful of partitions and cap parallelism
+# (a bench artifact — a 100 TB table has ~800k natural splits). Small
+# splits restore one-task-per-file granularity.
+_BENCH_READ_CONF = {
+    "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+    "spark.sql.files.openCostInBytes": str(256 * 1024),
+}
+
+
+def _flagship(spark, pages_path: str):
+    from pdf2doi_spark.operators.extract import extract_identifiers
+
+    pages = spark.read.parquet(pages_path)
+    return extract_identifiers(pages)
+
+
+def _timed(df, runs: int = 2) -> tuple:
+    """Steady-state timing: one warm pass, then min of ``runs`` timed passes
+    (min because sandbox noise is one-sided — GC pauses and CPU contention
+    only ever add time)."""
+    if WARM:
+        df.count()
+    best, n = None, 0
+    for _ in range(runs if WARM else 1):
         t0 = time.perf_counter()
-        n = _force(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        if name == "extract_cascade":
-            n_docs = n
-    return timings, n_docs
+        n = df.count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return best, n
 
 
-def _flagship_throughput(master: str, sf_dir: str) -> tuple:
-    """Fresh session at the given parallelism; flagship docs/sec."""
+def _scaling(sf_dir: str):
     from pdf2doi_spark.session import build_session
 
-    spark = build_session(master=master, app_name=f"bench-{master}")
-    try:
-        from pdf2doi_spark.queries import build_queries
+    boot = build_session(master=f"local[{CPUS}]", app_name="bench-materialize")
+    pages_path, _ = _materialize_pages(boot, sf_dir, SCALING_REPLICATE)
+    boot.stop()
 
-        q = build_queries()["extract_cascade"]
-        _force(q(spark, sf_dir))  # warm (JIT, code cache, file listing)
-        t0 = time.perf_counter()
-        n = _force(q(spark, sf_dir))
-        dt = time.perf_counter() - t0
-        return n / dt, n, dt
-    finally:
-        spark.stop()
+    out = {}
+    for label, master in (("local8", "local[8]"), ("local32", "local[32]")):
+        spark = build_session(master=master, app_name=f"bench-{master}",
+                              extra_conf=_BENCH_READ_CONF)
+        try:
+            dt, n = _timed(_flagship(spark, pages_path))
+            out[label] = {"docs_per_sec": round(n / dt, 1), "sec": round(dt, 2), "n": n}
+        finally:
+            spark.stop()
+    eff = out["local32"]["docs_per_sec"] / (4 * out["local8"]["docs_per_sec"])
+    return out, round(eff, 3)
 
 
 def main() -> None:
-    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    sf = float(_sf_tag().replace("sf", "")) if "sf" in _sf_tag() else -1.0
 
     if "--scaling" in sys.argv:
-        lo_tp, n, lo_dt = _flagship_throughput("local[8]", SF_DIR)
-        hi_tp, _, hi_dt = _flagship_throughput("local[32]", SF_DIR)
-        eff = hi_tp / (4 * lo_tp)
+        out, eff = _scaling(SF_DIR)
         print(json.dumps({
-            "metric": "flagship extraction scaling local[8] -> local[32]",
-            "value": round(eff, 3),
+            "metric": "flagship extraction scaling local[8] -> local[32] (N -> 4N stand-in)",
+            "value": eff,
             "unit": "efficiency",
-            "queries": {"local8_docs_per_sec": round(lo_tp, 1),
-                        "local32_docs_per_sec": round(hi_tp, 1),
-                        "local8_sec": round(lo_dt, 2),
-                        "local32_sec": round(hi_dt, 2)},
-            "n_docs": n,
+            "queries": {
+                "local8_docs_per_sec": out["local8"]["docs_per_sec"],
+                "local32_docs_per_sec": out["local32"]["docs_per_sec"],
+                "local8_sec": out["local8"]["sec"],
+                "local32_sec": out["local32"]["sec"],
+            },
+            "n_docs": out["local32"]["n"],
             "sf": sf,
         }))
         return
 
     from pdf2doi_spark.session import build_session
+    from pdf2doi_spark.queries import build_queries
 
-    spark = build_session(master=f"local[{CPUS}]", app_name="bench")
+    spark = build_session(master=f"local[{CPUS}]", app_name="bench",
+                          extra_conf=_BENCH_READ_CONF)
     try:
-        timings, n_docs = _run_once(spark, SF_DIR)
-        total = sum(timings.values())
-        docs_per_sec = round(n_docs / timings["extract_cascade"], 1) if timings.get(
-            "extract_cascade"
-        ) else 0.0
+        pages_path, synth_sec = _materialize_pages(spark, SF_DIR, REPLICATE)
+        flag_dt, n_docs = _timed(_flagship(spark, pages_path))
+        timings = {"extract_cascade": round(flag_dt, 3), "pages_synth": synth_sec}
+        qs = build_queries()
+        for name in HEADLINE:
+            dt, _ = _timed(qs[name](spark, SF_DIR))
+            timings[name] = round(dt, 3)
         print(json.dumps({
-            "metric": "identifier-extraction throughput (flagship cascade) + headline query latencies",
-            "value": docs_per_sec,
+            "metric": "identifier-extraction throughput (flagship cascade over materialized pages) + headline query latencies (steady-state)",
+            "value": round(n_docs / flag_dt, 1),
             "unit": "docs/sec",
             "queries": timings,
-            "total_sec": round(total, 2),
+            "total_sec": round(sum(timings.values()), 2),
             "n_docs": n_docs,
+            "cpus": CPUS,
             "sf": sf,
         }))
     finally:

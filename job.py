@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Production job entrypoint.
+
+    spark-submit --py-files pdf2doi_spark.zip job.py \
+        --input  /path/to/pages_parquet_or_iceberg \
+        --output /path/to/run_dir \
+        [--cache /path/to/identifier_cache] \
+        [--shards 4096] [--no-arxiv2doi] [--salt-partitions 0]
+
+Reads a pages table (url, warc_ts, html, text, lang), runs the fused
+extraction cascade with per-shard checkpointed lineage, merges found
+identifiers into the cache table, and writes the method/type audit
+metrics. Restarting with the same --output resumes: completed shards are
+skipped via the manifest.
+
+Shard count guidance at scale: pick shards so one shard ≈ 1-4 GB of input
+(10^12 docs × ~100 KB ≈ 100 TB → ~65k shards); the partitioned write keeps
+each shard's lineage independent.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--cache", default=None)
+    ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--salt-partitions", type=int, default=0,
+                    help="if >0, salted-repartition input before the kernel "
+                         "(use when the upstream layout clusters by domain)")
+    ap.add_argument("--no-arxiv2doi", action="store_true",
+                    help="keep arXiv IDs (strict reference-offline parity)")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from pdf2doi_spark.session import build_session
+    from pdf2doi_spark.operators.extract import (
+        method_metrics,
+        repartition_salted,
+    )
+    from pdf2doi_spark.sources.io import merge_cache, read_pages, run_resumable
+
+    spark = build_session(master=args.master, app_name="pdf2doi-extract")
+    try:
+        pages = read_pages(spark, args.input)
+        if args.salt_partitions > 0:
+            pages = repartition_salted(pages, args.salt_partitions)
+
+        cache = None
+        if args.cache and os.path.exists(args.cache):
+            cache = spark.read.parquet(args.cache)
+
+        results = run_resumable(
+            spark,
+            pages,
+            args.output,
+            n_shards=args.shards,
+            replace_arxiv=not args.no_arxiv2doi,
+            cache=cache,
+        )
+
+        if args.cache:
+            merge_cache(spark, args.cache, results)
+
+        metrics = method_metrics(results)
+        metrics.write.mode("overwrite").parquet(os.path.join(args.output, "metrics"))
+        for row in metrics.collect():
+            print(f"{row['method']:<28s} {row['identifier_type']:<12s} {row['n_docs']}")
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -210,8 +210,12 @@ def extract_one(
         method = "filename" if identifier else None
 
     if not identifier:
+        # text_units may be a GENERATOR: units are consumed lazily, so an
+        # expensive later unit (main-content extraction from html) is never
+        # computed when an earlier unit already hits — the reference's own
+        # "next extractor only if no hit" gating (finders.py:775-786).
         identifier, desc, tier = find_identifier_in_text(
-            list(text_units) if text_units else []
+            text_units if text_units is not None else []
         )
         method = "document_text" if identifier else None
 

@@ -85,14 +85,27 @@ def _batch_extract(batch: pd.DataFrame, replace_arxiv: bool,
 
     for i in range(n):
         h = html_list[i]
+        body = extract_main_content(h) if with_text else None
         if with_text:
-            out["extracted_text"][i] = extract_main_content(h)
+            out["extracted_text"][i] = body
         if not cand_list[i]:
             continue  # prefilter: provably no identifier material
+
+        def units(h=h, t=text_list[i], body=body):
+            # Lazy unit order (= reference extractor order): pre-extracted
+            # text first; the main-content body is only computed when the
+            # text unit yields no validated hit (and reused, not recomputed,
+            # when with_text already materialised it).
+            if t:
+                yield t
+            b = body if body is not None else extract_main_content(h)
+            if b:
+                yield b
+
         res = extract_one(
             out["url"][i],
             extract_meta(h),
-            page_text_units(h, text_list[i]),
+            units(),
             cached_identifier=cached_list[i],
             replace_arxiv=replace_arxiv,
         )

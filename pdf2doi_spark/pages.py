@@ -146,7 +146,9 @@ def build_page(doc_id: int, doc_text: str, lang: str, source: str) -> Tuple[str,
     ).encode("utf-8")
 
     text = f"Document {doc_id}: {snippet}{text_extra}"
-    warc_ts = _EPOCH + _dt.timedelta(minutes=int(doc_id))
+    # bounded so replicated load-test ids (doc_id ~ 5e9) stay in pandas'
+    # Timestamp range
+    warc_ts = _EPOCH + _dt.timedelta(minutes=int(doc_id) % 1_000_000)
     return url, warc_ts, html, text
 
 
@@ -163,8 +165,12 @@ def pages_pdf_from_documents(docs: pd.DataFrame) -> pd.DataFrame:
 
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
+# doc_id offset between replicas — far above any real doc_id, so replica
+# pages get distinct urls/DOIs (build_page is a pure function of doc_id).
+REPLICA_STRIDE = 50_000_000
 
-def pages_from_documents(spark, sf_dir: str):
+
+def pages_from_documents(spark, sf_dir: str, replicate: int = 1):
     """Spark variant: documents parquet → pages DataFrame.
 
     Generation happens inside ``mapInPandas`` (one Arrow crossing, batch
@@ -177,9 +183,21 @@ def pages_from_documents(spark, sf_dir: str):
     generation + downstream extraction. (A real crawl has thousands of
     splits and skips this.) Round-robin repartition never changes row
     values, only placement, so results stay deterministic.
+
+    ``replicate`` > 1 scales the table for load tests: each replica shifts
+    doc_id by REPLICA_STRIDE, producing distinct deterministic pages.
     """
+    import pyspark.sql.functions as F
+
     par = max(spark.sparkContext.defaultParallelism, 8)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(par)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if replicate > 1:
+        reps = spark.range(replicate).select(F.col("id").alias("_rep"))
+        docs = docs.crossJoin(reps).select(
+            (F.col("doc_id") + F.col("_rep") * REPLICA_STRIDE).alias("doc_id"),
+            "text", "lang", "source",
+        )
+    docs = docs.repartition(par)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

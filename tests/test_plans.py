@@ -1,0 +1,84 @@
+"""Physical-plan hygiene: the properties that matter at 100 TB must be
+visible in the plan, not assumed — column pruning to the scan, predicate
+pushdown, broadcast of the small cache side, whole-stage codegen for the
+native operators."""
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, sf_dir, tmp_path_factory):
+    from pdf2doi_spark.pages import pages_from_documents
+
+    path = str(tmp_path_factory.mktemp("plans") / "pages")
+    pages_from_documents(spark, sf_dir).write.parquet(path)
+    return path
+
+
+def test_column_pruning_reaches_scan(spark, pages_parquet):
+    # A url-only query over the 5-column pages table must not read html.
+    pages = spark.read.parquet(pages_parquet)
+    q = pages.select(F.length("url").alias("l")).groupBy().sum("l")
+    plan = _plan(q)
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m, plan
+    assert "url" in m.group(1)
+    assert "html" not in m.group(1), m.group(1)
+
+
+def test_predicate_pushdown_reaches_scan(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    q = pages.filter(F.col("lang") == "en").select("url")
+    plan = _plan(q)
+    assert re.search(r"PushedFilters: \[.*(IsNotNull|EqualTo)\(lang", plan), plan
+
+
+def test_kernel_consumes_only_needed_columns(spark, pages_parquet):
+    from pdf2doi_spark.operators.extract import extract_identifiers
+
+    pages = spark.read.parquet(pages_parquet)
+    plan = _plan(extract_identifiers(pages))
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    # warc_ts / lang never cross into the Python kernel
+    assert "warc_ts" not in m.group(1) and "lang" not in m.group(1), m.group(1)
+
+
+def test_cache_join_is_broadcast(spark, pages_parquet):
+    from pdf2doi_spark.operators.extract import extract_identifiers
+
+    pages = spark.read.parquet(pages_parquet)
+    cache = spark.createDataFrame(
+        [("u", "10.1/x")], "url string, identifier string"
+    )
+    plan = _plan(extract_identifiers(pages, cache=cache))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_native_ops_stay_in_codegen(spark, sf_dir):
+    from pdf2doi_spark.operators.quality import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(quality_score(docs))
+    # JVM-side end-to-end: no Python evaluation nodes in the native path.
+    # (Array higher-order functions evaluate interpreted inside the Project
+    # — still JVM — so we assert absence of Python nodes, not full codegen.)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "mapInPandas" not in plan.lower()
+
+
+def test_metrics_use_partial_aggregation(spark, pages_parquet):
+    from pdf2doi_spark.operators.extract import extract_identifiers, method_metrics
+
+    pages = spark.read.parquet(pages_parquet)
+    plan = _plan(method_metrics(extract_identifiers(pages, with_text=False)))
+    # two HashAggregates around one exchange = map-side partial agg
+    assert plan.count("HashAggregate") >= 2, plan
