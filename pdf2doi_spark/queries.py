@@ -636,6 +636,157 @@ def _q_label_centroids():
     return q, sql
 
 
+def _q_ngram_jaccard():
+    """Exact n-gram Jaccard on deterministic candidate pairs (doc, doc+1):
+    pins the shingle/set algebra without the LSH layer."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.dedup import jaccard_pairs
+
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        pairs = (
+            d.select(F.col("doc_id").alias("doc_a"))
+            .withColumn("doc_b", F.col("doc_a") + 1)
+            .join(d.select(F.col("doc_id").alias("doc_b")), "doc_b")
+        )
+        return jaccard_pairs(d, pairs.select("doc_a", "doc_b"), threshold=0.0)
+
+    sql = rf"""
+        {_SHINGLE_SQL}
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.s, b.s)) * 1.0
+                     / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """
+    return q, sql
+
+
+def _q_embedding_near_dups():
+    """Embedding-cosine near-duplicate pairs within label buckets — the
+    embedding analogue of MinHash candidate generation: bucket (label) join,
+    exact cosine verify, threshold filter."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.similarity import _dot, _norm
+
+        e = _emb(spark, sf_dir).select("vec_id", "label", "embedding")
+        a = e.alias("a")
+        b = e.alias("b")
+        cos = F.round(
+            _dot(F.col("a.embedding"), F.col("b.embedding"))
+            / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
+            6,
+        )
+        return (
+            a.join(b, (F.col("a.label") == F.col("b.label"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                cos.alias("cosine"),
+            )
+            .filter(F.col("cosine") >= 0.95)
+            .orderBy("vec_a", "vec_b")
+        )
+
+    sql = """
+        WITH e AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.95
+        ORDER BY vec_a, vec_b
+    """
+    return q, sql
+
+
+def _q_sessionize():
+    """Gap-based sessionization over the events stream (30-minute idle gap)
+    — lag window + running session counter, the classic stateful-analytics
+    shape (fully native; one shuffle on user_id)."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts")
+        # ts is TIMESTAMP_NTZ (no direct cast to long in Spark 4); route via
+        # TIMESTAMP — only gap differences are used, so the tz shift cancels.
+        secs = F.col("ts").cast("timestamp").cast("long")
+        gap = secs - F.lag(secs).over(w)
+        marked = e.select(
+            "user_id", "ts",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("is_new"),
+        )
+        sess = marked.withColumn(
+            "session_idx",
+            F.sum("is_new").over(
+                Window.partitionBy("user_id").orderBy("ts")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        return (
+            sess.groupBy("user_id", "session_idx")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+            )
+            .orderBy("user_id", "session_idx")
+        )
+
+    sql = """
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                           OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+        ), sess AS (
+          SELECT user_id, ts,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_idx
+          FROM marked
+        )
+        SELECT user_id, session_idx,
+               count(*) AS n_events,
+               min(ts) AS session_start,
+               max(ts) AS session_end
+        FROM sess GROUP BY user_id, session_idx
+        ORDER BY user_id, session_idx
+    """
+    return q, sql
+
+
+def _q_topk_per_group():
+    """Per-language top-3 longest documents — window row_number + filter,
+    the generic top-k-per-group shape (rank shuffle on the group key only)."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        d = _docs(spark, sf_dir)
+        w = Window.partitionBy("lang").orderBy(
+            F.desc("n_chars"), F.col("doc_id")
+        )
+        return (
+            d.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= 3)
+            .orderBy("lang", "rank")
+        )
+
+    sql = """
+        SELECT lang, doc_id, n_chars, rank FROM (
+          SELECT lang, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank
+          FROM documents
+        ) WHERE rank <= 3 ORDER BY lang, rank
+    """
+    return q, sql
+
+
 # --------------------------------------------------------------------------
 # Skew-defused domain metrics + event-time windowing.
 # --------------------------------------------------------------------------
@@ -777,6 +928,10 @@ _BUILDERS = {
     "title_select": _q_title_select,
     "domain_counts_salted": _q_domain_counts,
     "events_windowed": _q_events_windowed,
+    "ngram_jaccard": _q_ngram_jaccard,
+    "embedding_near_dups": _q_embedding_near_dups,
+    "sessionize": _q_sessionize,
+    "topk_per_group": _q_topk_per_group,
 }
 
 

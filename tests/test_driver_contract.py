@@ -40,10 +40,14 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             if math.isnan(v):
                 return None
             return round(v, 5)
+        if hasattr(v, "isoformat"):  # Timestamp: drop ns/us dtype divergence
+            return v.isoformat()
+        if type(v).__module__ == "numpy":  # int32 vs int64 etc.
+            return v.item()
         return v
 
     for c in df.columns:
-        df[c] = df[c].map(norm_cell)
+        df[c] = df[c].map(norm_cell).astype(object)
     return df.sort_values(list(df.columns), key=lambda s: s.map(str)).reset_index(drop=True)
 
 
