@@ -41,11 +41,19 @@ RESULT_SCHEMA = (
     "method string, tier int, extracted_text string"
 )
 
-# Cheap byte-level candidate markers: every DOI contains '10.'; every
-# post-2007 arXiv hit requires 'arxiv' (tier 0) or 'NNNN.N*.pdf' (tier 1,
-# filenames only — covered by scanning the url too).
+# Candidate prefilter: a NECESSARY condition for any kernel hit, proved
+# from the tier bank — every DOI tier requires '10.' + 4 digits; arXiv
+# tier 0 requires the literal 'arxiv' (any case); arXiv tiers 1/2 require
+# a bare 'NNNN.d' shape. A row matching none of these can never produce an
+# identifier, so the cascade is skipped wholesale. (Over-matching is fine;
+# under-matching would silently drop hits — test_prefilter_necessity pins
+# the tier-1 arXiv case that a naive '10.|arxiv' filter misses.)
+import re as _re
+
+# Stage 1: literal '10.' (C-speed memmem scan) — necessary for every DOI tier.
+# Stage 2 (only on rows stage 1 left unmarked): the arXiv shapes.
 _DOI_MARK = "10."
-_ARXIV_MARK = "arxiv"
+_ARXIV_RE = _re.compile(r"(?i)\d{4}\.\d|arxiv")
 
 
 def _batch_extract(batch: pd.DataFrame, replace_arxiv: bool,
@@ -57,15 +65,25 @@ def _batch_extract(batch: pd.DataFrame, replace_arxiv: bool,
     cached = batch["cached_identifier"] if "cached_identifier" in batch.columns else None
 
     # ---- vectorized prefilter (JVM rows -> skip regex work wholesale) ----
-    # Decode html once per row (needed for extracted_text anyway) and build
-    # a lowercase haystack per row; misses are decided without the kernel.
+    # Decode html once per row (needed downstream anyway); candidate rows
+    # are decided with three cheap contains passes — no concatenated copy,
+    # no lowercase copy ('10.' is caseless; 'arxiv' uses an inline (?i)).
     html_str = html.map(
         lambda b: b.decode("utf-8", errors="replace") if isinstance(b, (bytes, bytearray)) else (b or "")
     )
-    hay = (url.fillna("") + "\x00" + text.fillna("") + "\x00" + html_str).str.lower()
-    candidate = hay.str.contains(_DOI_MARK, regex=False) | hay.str.contains(
-        _ARXIV_MARK, regex=False
-    )
+    cols = (url.fillna(""), text.fillna(""), html_str)
+    candidate = None
+    for col in cols:
+        c = col.str.contains(_DOI_MARK, regex=False)
+        candidate = c if candidate is None else (candidate | c)
+    todo = ~candidate
+    if todo.any():  # arXiv shapes for rows with no '10.' anywhere
+        for col in cols:
+            hit = col[todo].str.contains(_ARXIV_RE, regex=True)
+            candidate.loc[todo] = hit
+            todo = ~candidate
+            if not todo.any():
+                break
     if cached is not None:
         candidate = candidate | cached.notna()
 

@@ -83,6 +83,24 @@ def test_multi_doi_first_match_wins(results_vs_expected):
         assert got.loc[url]["identifier"] == doi_for(int(row.doc_id))
 
 
+def test_prefilter_necessity_bare_arxiv_filename(spark):
+    # A row whose ONLY identifier evidence is the bare 'NNNN.NNNNN.pdf'
+    # filename form (arXiv tier 1): no 'arxiv', no '10.' anywhere. A naive
+    # '10.|arxiv' prefilter silently drops it; the two-stage prefilter must
+    # keep it (its regex stage is a proved-necessary condition per tier).
+    from pdf2doi_spark.operators.extract import extract_identifiers
+
+    pages = spark.createDataFrame(
+        [("https://x.org/papers/1907.11692v2.pdf",
+          bytearray(b"<p>nothing special here at all</p>"),
+          "plain body with no markers")],
+        "url string, html binary, text string",
+    )
+    row = extract_identifiers(pages, with_text=False).collect()[0]
+    assert row["identifier"] == "10.48550/arXiv.1907.11692"
+    assert row["method"] == "filename + arxiv2doi"
+
+
 def test_cache_fast_path(spark, sf_dir):
     from pdf2doi_spark.operators.extract import extract_identifiers
 
