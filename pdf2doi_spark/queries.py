@@ -293,6 +293,30 @@ def _q_extract_cascade():
     return q, _CASCADE_EXPECT_SQL
 
 
+def _q_extract_cascade_noarxiv():
+    """Strict reference-offline parity mode (``-no_arxiv2doi``): arXiv IDs
+    are kept, never rewritten to synthetic DOIs (SURVEY.md V4)."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        from pdf2doi_spark.operators.extract import extract_identifiers
+        from pdf2doi_spark.pages import pages_from_documents
+
+        pages = pages_from_documents(spark, sf_dir)
+        return extract_identifiers(
+            pages, replace_arxiv=False, with_text=False
+        ).select("url", "identifier", "identifier_type", "method")
+
+    sql = _CASCADE_EXPECT_SQL.replace(
+        "WHEN cat = 10 THEN '10.48550/arXiv.' || axv", "WHEN cat = 10 THEN axv"
+    ).replace(
+        "WHEN cat = 10 THEN 'arxiv DOI'", "WHEN cat = 10 THEN 'arxiv ID'"
+    ).replace(
+        "WHEN cat = 10 THEN 'document_text + arxiv2doi'",
+        "WHEN cat = 10 THEN 'document_text'",
+    )
+    return q, sql
+
+
 def _q_method_metrics():
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -902,6 +926,7 @@ def _q_title_select():
 
 _BUILDERS = {
     "extract_cascade": _q_extract_cascade,
+    "extract_cascade_noarxiv": _q_extract_cascade_noarxiv,
     "method_metrics": _q_method_metrics,
     "main_content": _q_main_content,
     "report_format": _q_report_format,

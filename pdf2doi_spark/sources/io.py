@@ -35,6 +35,28 @@ def read_pages(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_raw_files(spark: SparkSession, path: str,
+                   glob: str = "*.html") -> DataFrame:
+    """Raw-file ingestion (reference S1's directory scan, Spark-native):
+    ``binaryFile`` source → pages-shaped DataFrame. ``pathGlobFilter``
+    replaces the reference's case-insensitive suffix check at the source
+    (pushed into file listing, no data read for non-matching files);
+    ``modificationTime`` stands in for the crawl timestamp; ``text`` is
+    NULL (populated downstream by the main-content stage)."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    return raw.select(
+        F.col("path").alias("url"),
+        F.col("modificationTime").alias("warc_ts"),
+        F.col("content").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
 def shard_column(n_shards: int, url_col: str = "url") -> F.Column:
     """Deterministic shard id: pmod(xxhash64(url), n). xxhash64 is JVM-side
     (whole-stage codegen) and stable across runs/executors."""
