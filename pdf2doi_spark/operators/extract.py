@@ -52,8 +52,13 @@ import re as _re
 
 # Stage 1: literal '10.' (C-speed memmem scan) — necessary for every DOI tier.
 # Stage 2 (only on rows stage 1 left unmarked): the arXiv shapes.
+# Byte variants run on the RAW html payload so non-candidate rows are never
+# even UTF-8-decoded (decode + meta scan is the kernel's dominant per-row
+# cost; real crawls are miss-heavy).
 _DOI_MARK = "10."
 _ARXIV_RE = _re.compile(r"(?i)\d{4}\.\d|arxiv")
+_DOI_MARK_B = b"10."
+_ARXIV_RE_B = _re.compile(rb"(?i)\d{4}\.\d|arxiv")
 
 
 def _batch_extract(batch: pd.DataFrame, replace_arxiv: bool,
@@ -65,27 +70,48 @@ def _batch_extract(batch: pd.DataFrame, replace_arxiv: bool,
     cached = batch["cached_identifier"] if "cached_identifier" in batch.columns else None
 
     # ---- vectorized prefilter (JVM rows -> skip regex work wholesale) ----
-    # Decode html once per row (needed downstream anyway); candidate rows
-    # are decided with three cheap contains passes — no concatenated copy,
-    # no lowercase copy ('10.' is caseless; 'arxiv' uses an inline (?i)).
-    html_str = html.map(
-        lambda b: b.decode("utf-8", errors="replace") if isinstance(b, (bytes, bytearray)) else (b or "")
-    )
-    cols = (url.fillna(""), text.fillna(""), html_str)
+    # Candidate rows are decided WITHOUT decoding html: literal '10.' scans
+    # first (caseless, necessary for every DOI tier), then the arXiv shape
+    # regex only on still-unmarked rows. html stays raw bytes; only
+    # candidate rows (or all rows when extracted_text is requested) are
+    # UTF-8-decoded afterwards.
+    def _has_mark_bytes(b) -> bool:
+        if b is None:
+            return False
+        bb = bytes(b)
+        return _DOI_MARK_B in bb or _ARXIV_RE_B.search(bb) is not None
+
+    cols = (url.fillna(""), text.fillna(""))
     candidate = None
     for col in cols:
         c = col.str.contains(_DOI_MARK, regex=False)
         candidate = c if candidate is None else (candidate | c)
     todo = ~candidate
-    if todo.any():  # arXiv shapes for rows with no '10.' anywhere
+    if todo.any():  # arXiv shapes in url/text for rows with no '10.'
         for col in cols:
-            hit = col[todo].str.contains(_ARXIV_RE, regex=True)
-            candidate.loc[todo] = hit
+            candidate.loc[todo] = col[todo].str.contains(_ARXIV_RE, regex=True)
             todo = ~candidate
             if not todo.any():
                 break
+    if todo.any():  # raw-bytes scan of html, only where still unmarked
+        candidate.loc[todo] = html[todo].map(_has_mark_bytes)
     if cached is not None:
         candidate = candidate | cached.notna()
+
+    def _decode(b) -> str:
+        return (
+            bytes(b).decode("utf-8", errors="replace")
+            if isinstance(b, (bytes, bytearray))
+            else (b or "")
+        )
+
+    if with_text:
+        html_str = html.map(_decode)  # extracted_text needed for every row
+    else:
+        html_str = pd.Series([None] * n, index=html.index, dtype=object)
+        cmask = candidate.fillna(False)
+        if cmask.any():
+            html_str.loc[cmask] = html[cmask].map(_decode)
 
     out = {
         "url": url.tolist(),
