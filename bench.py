@@ -13,8 +13,8 @@ Python workers, codegen, file listing), then the timed pass — a
 1000-executor job amortizes startup across hours, so steady-state is the
 design point. Set SPARK_GRAFT_BENCH_WARM=0 to time cold instead.
 
-``--scaling`` runs the flagship at local[8] and local[32] on the same
-materialized input and reports both throughputs + efficiency
+``--scaling`` runs the flagship at local[4], local[16], and local[32] on
+the same materialized input and reports throughputs + N→4N efficiency
 (eff = tp4N / (4 * tpN)) — the sandbox stand-in for N→4N executors
 (see BENCH.md).
 """
@@ -93,17 +93,17 @@ def _flagship(spark, pages_path: str):
 
 def _timed(df, runs: int = 2) -> tuple:
     """Steady-state timing: one warm pass, then min of ``runs`` timed passes
-    (min because sandbox noise is one-sided — GC pauses and CPU contention
-    only ever add time)."""
+    (min because sandbox noise is one-sided — GC pauses and ambient CPU
+    contention only ever add time; observed single-run spread on this box
+    is up to ~30%). Returns (best_seconds, rows, all_run_seconds)."""
     if WARM:
         df.count()
-    best, n = None, 0
+    all_runs, n = [], 0
     for _ in range(runs if WARM else 1):
         t0 = time.perf_counter()
         n = df.count()
-        dt = time.perf_counter() - t0
-        best = dt if best is None or dt < best else best
-    return best, n
+        all_runs.append(round(time.perf_counter() - t0, 2))
+    return min(all_runs), n, all_runs
 
 
 def _scaling(sf_dir: str):
@@ -112,11 +112,11 @@ def _scaling(sf_dir: str):
     The headline N→4N pair is local[4]→local[16]: at ≤16 of 32 cores the box
     is not memory-bandwidth/turbo saturated, so the pair isolates the
     FRAMEWORK's scaling behavior — which is what transfers to a real
-    cluster, where 4N executors bring 4N memory buses. local[8]→local[32]
-    is reported alongside for transparency; a no-Spark multiprocessing
+    cluster, where 4N executors bring 4N memory buses. The 16→32 step is
+    reported alongside for transparency; a no-Spark multiprocessing
     control of the same kernel shows the same ~0.68 per-core retention at
-    32 procs, i.e. that pair measures this box's memory ceiling, not the
-    engine (see BENCH.md).
+    32 procs, i.e. full-box saturation measures this machine's memory
+    ceiling, not the engine (see BENCH.md).
     """
     from pdf2doi_spark.session import build_session
 
@@ -126,15 +126,16 @@ def _scaling(sf_dir: str):
 
     out = {}
     for label, master, runs in (
-        ("local4", "local[4]", 2),
-        ("local16", "local[16]", 3),
+        ("local4", "local[4]", 3),
+        ("local16", "local[16]", 4),
         ("local32", "local[32]", 3),
     ):
         spark = build_session(master=master, app_name=f"bench-{master}",
                               extra_conf=_BENCH_READ_CONF)
         try:
-            dt, n = _timed(_flagship(spark, pages_path), runs=runs)
-            out[label] = {"docs_per_sec": round(n / dt, 1), "sec": round(dt, 2), "n": n}
+            dt, n, all_runs = _timed(_flagship(spark, pages_path), runs=runs)
+            out[label] = {"docs_per_sec": round(n / dt, 1), "sec": round(dt, 2),
+                          "n": n, "runs_sec": all_runs}
         finally:
             spark.stop()
     eff_4_16 = out["local16"]["docs_per_sec"] / (4 * out["local4"]["docs_per_sec"])
@@ -157,9 +158,9 @@ def main() -> None:
                 "local32_docs_per_sec": out["local32"]["docs_per_sec"],
                 "eff_4_to_16": eff_4_16,
                 "eff_16_to_32": eff_16_32,
-                "local4_sec": out["local4"]["sec"],
-                "local16_sec": out["local16"]["sec"],
-                "local32_sec": out["local32"]["sec"],
+                "local4_runs_sec": out["local4"]["runs_sec"],
+                "local16_runs_sec": out["local16"]["runs_sec"],
+                "local32_runs_sec": out["local32"]["runs_sec"],
             },
             "n_docs": out["local32"]["n"],
             "sf": sf,
@@ -173,11 +174,11 @@ def main() -> None:
                           extra_conf=_BENCH_READ_CONF)
     try:
         pages_path, synth_sec = _materialize_pages(spark, SF_DIR, REPLICATE)
-        flag_dt, n_docs = _timed(_flagship(spark, pages_path))
+        flag_dt, n_docs, _flag_runs = _timed(_flagship(spark, pages_path))
         timings = {"extract_cascade": round(flag_dt, 3), "pages_synth": synth_sec}
         qs = build_queries()
         for name in HEADLINE:
-            dt, _ = _timed(qs[name](spark, SF_DIR))
+            dt, _, _runs = _timed(qs[name](spark, SF_DIR))
             timings[name] = round(dt, 3)
         print(json.dumps({
             "metric": "identifier-extraction throughput (flagship cascade over materialized pages) + headline query latencies (steady-state)",
