@@ -20,7 +20,12 @@ North-rule requirements covered here:
 from __future__ import annotations
 
 import os
+import shutil
 from typing import Optional
+
+
+def _rmtree(path: str) -> None:
+    shutil.rmtree(path, ignore_errors=True)
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
@@ -91,7 +96,10 @@ def merge_cache(spark: SparkSession, cache_path: str, results: DataFrame) -> Dat
     merged.write.mode("overwrite").parquet(cache_path + ".tmp")
     out = merged.sparkSession.read.parquet(cache_path + ".tmp")
     out.write.mode("overwrite").parquet(cache_path)
-    return merged.sparkSession.read.parquet(cache_path)
+    result = merged.sparkSession.read.parquet(cache_path)
+    result.count()  # force before dropping the tmp source
+    _rmtree(cache_path + ".tmp")
+    return result
 
 
 def completed_shards(spark: SparkSession, manifest_path: str) -> set:
@@ -131,9 +139,19 @@ def run_resumable(
         sharded.select("url", "html", "text"), replace_arxiv=replace_arxiv, cache=cache
     ).withColumn("shard", shard_column(n_shards))
 
-    pending.write.mode("append").partitionBy("shard").parquet(results_path)
+    # Dynamic partition overwrite makes the write idempotent PER SHARD: a
+    # run that died after writing some shards but before the manifest can
+    # be restarted safely — recomputed shards REPLACE their partition
+    # directories instead of appending duplicates.
+    (
+        pending.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard")
+        .parquet(results_path)
+    )
 
-    # Manifest entries from what was just written (counters = lineage metrics).
+    # Manifest derived from the data itself (never ahead of it); counters =
+    # the per-partition lineage metrics the north rule asks for.
     written = spark.read.parquet(results_path).withColumn(
         "status", F.lit("done")
     )
@@ -144,6 +162,8 @@ def run_resumable(
             F.count("identifier").alias("n_hits"),
         )
     )
-    manifest.write.mode("overwrite").parquet(manifest_path + ".tmp")
-    spark.read.parquet(manifest_path + ".tmp").write.mode("overwrite").parquet(manifest_path)
+    tmp = manifest_path + ".tmp"
+    manifest.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(manifest_path)
+    _rmtree(tmp)
     return spark.read.parquet(results_path)

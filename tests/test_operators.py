@@ -212,6 +212,16 @@ def test_run_resumable_skips_done_shards(spark, sf_dir, tmp_path):
     # Restart: everything is done -> no new rows appended.
     res2 = run_resumable(spark, pages, out, n_shards=8)
     assert res2.count() == n1
+
+    # Crash-window simulation: manifest lost AFTER results were written
+    # (the failure mode between the two writes). Restart recomputes all
+    # shards; dynamic partition overwrite REPLACES them — no duplicates.
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "manifest"))
+    res3 = run_resumable(spark, pages, out, n_shards=8)
+    assert res3.count() == n1
+    assert res3.select("url").distinct().count() == n1
     pages.unpersist()
 
 
