@@ -11,12 +11,22 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# Tiny fixed stopword banks for the ratio-based language heuristic.
-# (An n-gram language model is overkill for the synthetic corpus; the
-# heuristic's *shape* — per-language marker-hit ratios, argmax — is what a
-# real pipeline needs, and it is fully SQL-expressible.)
-EN_MARKERS = ("the", "a", "and", "of", "to")
+# Fixed marker-word banks for the ratio-based language heuristic: the
+# classic cheap lang-ID shape (per-language marker-hit ratios → argmax,
+# deterministic tiebreak), fully SQL-expressible. Real pipelines swap in
+# larger banks or character-n-gram profiles; the operator shape is the same.
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of", "to"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "que", "y", "las"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+EN_MARKERS = LANG_MARKERS["en"]
 PUNCT_CLASS = r"[\.,;:!\?\)\(]"
+# BPE-ish pre-tokenizer: word pieces OR single non-space symbols — the
+# standard GPT-style pre-split whose count tracks subword counts closely.
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
 
 
 def tokens(col: Column) -> Column:
@@ -28,28 +38,51 @@ def tokens(col: Column) -> Column:
 
 
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace token count plus a BPE-ish subword estimate
-    (4 chars/token heuristic on non-space length)."""
+    """Whitespace token count, a BPE-ish regex token count (GPT-style
+    pre-tokenizer pieces), and a 4-chars/token subword estimate — all
+    native expressions."""
     t = F.trim(F.col(text_col))
     nospace = F.length(F.regexp_replace(t, r"\s+", ""))
     return df.select(
         F.col("doc_id"),
         F.size(tokens(F.col(text_col))).alias("n_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0)).alias("n_bpe_tokens"),
         F.ceil(nospace / F.lit(4)).cast("long").alias("n_subword_est"),
     )
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Marker-word-ratio language heuristic: share of tokens that are
-    English marker words; classify 'en' above 2%."""
+    """Marker-word-ratio language heuristic over 5 fixed banks: per-language
+    marker-hit ratio → argmax (ties broken by language code order); 'other'
+    when no bank clears 2%. One narrow map, no shuffle."""
     toks = tokens(F.lower(F.col(text_col)))
-    hits = F.size(F.filter(toks, lambda x: x.isin(*EN_MARKERS)))
     total = F.size(toks)
-    ratio = F.when(total > 0, hits / total).otherwise(F.lit(0.0))
+    def _marker_ratio(markers):
+        # closure factory keeps the F.filter lambda UNARY (a second param
+        # would bind the array index — see dedup._keyed_min_md5)
+        def pred(x):
+            return x.isin(*markers)
+
+        return F.when(total > 0, F.size(F.filter(toks, pred)) / total).otherwise(
+            F.lit(0.0)
+        )
+
+    ratios = {lang: _marker_ratio(m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*ratios.values())
+    # first-match CASE in bank insertion order = deterministic tiebreak
+    pred_expr = None
+    for lang in LANG_MARKERS:
+        cond = (ratios[lang] >= best) & (best > 0.02)
+        pred_expr = (
+            F.when(cond, F.lit(lang)) if pred_expr is None
+            else pred_expr.when(cond, F.lit(lang))
+        )
+    pred = pred_expr.otherwise(F.lit("other"))
     return df.select(
         F.col("doc_id"),
-        F.round(ratio, 6).alias("en_marker_ratio"),
-        F.when(ratio > 0.02, F.lit("en")).otherwise(F.lit("other")).alias("lang_pred"),
+        F.round(ratios["en"], 6).alias("en_marker_ratio"),
+        F.round(best, 6).alias("best_marker_ratio"),
+        pred.alias("lang_pred"),
     )
 
 
@@ -87,6 +120,25 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     DuckDB, and Python — the cross-engine contract for dedup joins)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.select(F.col("doc_id"), F.md5(norm).alias("fp"))
+
+
+def winnowing_sketch(df: DataFrame, text_col: str = "text", n: int = 3,
+                     k: int = 8) -> DataFrame:
+    """Rolling-window document fingerprint sketch (winnowing-style): hash
+    every word n-gram window (the rolling-hash pass), keep the k smallest
+    hashes as the document's sketch. Two documents sharing most content
+    share most of their sketch, so sketch overlap is a cheap containment
+    signal. md5 keeps it cross-engine; all native, no shuffle."""
+    words = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    m = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(m - 1, F.lit(-1))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, n))),
+    )
+    sketch = F.when(
+        m >= 1, F.slice(F.array_sort(F.array_distinct(grams)), 1, k)
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col("doc_id"), sketch.alias("sketch"))
 
 
 def ascii_scrub(df: DataFrame, text_col: str = "text", n_chars: int = 1000) -> DataFrame:

@@ -412,6 +412,7 @@ def _q_token_count():
         SELECT doc_id,
                CASE WHEN length(trim(text)) = 0 THEN 0
                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+               len(regexp_extract_all(trim(text), '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
                CAST(ceil(length(regexp_replace(trim(text), '\s+', '', 'g')) / 4.0) AS BIGINT) AS n_subword_est
         FROM documents
     """
@@ -424,21 +425,38 @@ def _q_lang_id():
 
         return lang_id(_docs(spark, sf_dir))
 
-    sql = r"""
+    banks = {
+        "en": "['the','a','and','of','to']",
+        "fr": "['le','la','et','les','des']",
+        "es": "['el','los','que','y','las']",
+        "de": "['der','die','das','und','nicht']",
+        "zh": "['的','是','了','在','我']",
+    }
+    ratio_exprs = ",\n               ".join(
+        f"CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> list_contains({b}, x))) * 1.0 / len(toks) ELSE 0.0 END AS r_{lang}"
+        for lang, b in banks.items()
+    )
+    case_arms = " ".join(
+        f"WHEN r_{lang} >= best AND best > 0.02 THEN '{lang}'" for lang in banks
+    )
+    sql = rf"""
         WITH t AS (
           SELECT doc_id,
                  CASE WHEN length(trim(text)) = 0 THEN []
                       ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
           FROM documents
+        ), r AS (
+          SELECT doc_id,
+               {ratio_exprs}
+          FROM t
+        ), b AS (
+          SELECT *, greatest(r_en, r_fr, r_es, r_de, r_zh) AS best FROM r
         )
         SELECT doc_id,
-               round(CASE WHEN len(toks) > 0
-                          THEN len(list_filter(toks, x -> list_contains(['the','a','and','of','to'], x))) * 1.0 / len(toks)
-                          ELSE 0.0 END, 6) AS en_marker_ratio,
-               CASE WHEN len(toks) > 0 AND
-                         len(list_filter(toks, x -> list_contains(['the','a','and','of','to'], x))) * 1.0 / len(toks) > 0.02
-                    THEN 'en' ELSE 'other' END AS lang_pred
-        FROM t
+               round(r_en, 6) AS en_marker_ratio,
+               round(best, 6) AS best_marker_ratio,
+               CASE {case_arms} ELSE 'other' END AS lang_pred
+        FROM b
     """
     return q, sql
 
@@ -491,6 +509,27 @@ def _q_fingerprint():
         SELECT doc_id,
                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         FROM documents
+    """
+    return q, sql
+
+
+def _q_winnowing_sketch():
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.quality import winnowing_sketch
+
+        return winnowing_sketch(_docs(spark, sf_dir))
+
+    sql = r"""
+        WITH words AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_sort(list_distinct([md5(array_to_string(w[i:i+2], ' ')) for i in range(1, len(w) - 1)]))[1:8]
+                    ELSE [] END AS sketch
+        FROM words
     """
     return q, sql
 
@@ -943,6 +982,7 @@ _BUILDERS = {
     "lang_id": _q_lang_id,
     "quality_score": _q_quality_score,
     "doc_fingerprint": _q_fingerprint,
+    "winnowing_sketch": _q_winnowing_sketch,
     "exact_dup_groups": _q_exact_dup_groups,
     "minhash_bands": _q_minhash_bands,
     "minhash_near_dups": _q_minhash_near_dups,

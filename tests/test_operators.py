@@ -35,6 +35,7 @@ def test_token_count_matches_duckdb(docs, sf_dir):
         SELECT doc_id,
                CASE WHEN length(trim(text))=0 THEN 0
                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+               len(regexp_extract_all(trim(text), '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens,
                CAST(ceil(length(regexp_replace(trim(text), '\\s+', '', 'g')) / 4.0) AS BIGINT) AS n_subword_est
         FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id
         """
