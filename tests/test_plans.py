@@ -75,6 +75,28 @@ def test_native_ops_stay_in_codegen(spark, sf_dir):
     assert "mapInPandas" not in plan.lower()
 
 
+def test_partition_pruning_on_crawl_date(spark, sf_dir, tmp_path):
+    # Production layout: pages partitioned by crawl date (warc_ts) — a
+    # date-ranged job must scan only matching partitions, visible as
+    # PartitionFilters on the scan node.
+    from pdf2doi_spark.pages import pages_from_documents
+
+    path = str(tmp_path / "pages_by_day")
+    (
+        pages_from_documents(spark, sf_dir)
+        .withColumn("crawl_date", F.to_date("warc_ts"))
+        .write.partitionBy("crawl_date")
+        .parquet(path)
+    )
+    pages = spark.read.parquet(path)
+    one_day = pages.filter(F.col("crawl_date") == "2024-01-01").select("url")
+    plan = _plan(one_day)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "crawl_date" in m.group(1), plan
+    # and the pruned read returns only that day's rows
+    assert one_day.count() > 0
+
+
 def test_metrics_use_partial_aggregation(spark, pages_parquet):
     from pdf2doi_spark.operators.extract import extract_identifiers, method_metrics
 
