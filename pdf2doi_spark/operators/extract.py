@@ -62,7 +62,7 @@ _ARXIV_RE_B = _re.compile(rb"(?i)\d{4}\.\d|arxiv")
 
 
 def _batch_extract(batch: pd.DataFrame, replace_arxiv: bool,
-                   with_text: bool) -> pd.DataFrame:
+                   with_text: bool, counters=None) -> pd.DataFrame:
     n = len(batch)
     url = batch["url"]
     html = batch["html"]
@@ -97,6 +97,10 @@ def _batch_extract(batch: pd.DataFrame, replace_arxiv: bool,
         candidate.loc[todo] = html[todo].map(_has_mark_bytes)
     if cached is not None:
         candidate = candidate | cached.notna()
+
+    if counters is not None:
+        counters.n_docs.add(n)
+        counters.n_candidates.add(int(candidate.fillna(False).sum()))
 
     def _decode(b) -> str:
         return (
@@ -161,15 +165,37 @@ def _batch_extract(batch: pd.DataFrame, replace_arxiv: bool,
     return pd.DataFrame(out)
 
 
+class ExtractionCounters:
+    """Spark accumulators incremented inside the kernel (SURVEY §4):
+    live job-level observability — docs seen, prefilter candidates, hits —
+    without a second pass or a shuffle. Read on the driver after an action."""
+
+    def __init__(self, sc):
+        self.n_docs = sc.accumulator(0)
+        self.n_candidates = sc.accumulator(0)
+        self.n_hits = sc.accumulator(0)
+
+    def as_dict(self) -> dict:
+        return {
+            "n_docs": self.n_docs.value,
+            "n_candidates": self.n_candidates.value,
+            "n_hits": self.n_hits.value,
+        }
+
+
 def extract_identifiers(pages: DataFrame, replace_arxiv: bool = True,
                         with_text: bool = True,
-                        cache: Optional[DataFrame] = None) -> DataFrame:
+                        cache: Optional[DataFrame] = None,
+                        counters: Optional[ExtractionCounters] = None) -> DataFrame:
     """pages(url, html, text, ...) → result DataFrame (one fused kernel).
 
     ``cache`` is an optional small table ``(url, identifier)`` — the Spark
     analogue of the reference's metadata write-back memoization
     (finders.py:587-608): it is broadcast-joined in, and cached rows resolve
     as method #1 without touching the kernel's regex tiers.
+
+    ``counters`` (optional ExtractionCounters) adds per-batch accumulator
+    increments inside the kernel.
     """
     cols = ["url", "html", "text"]
     df = pages.select(*cols)
@@ -182,7 +208,10 @@ def extract_identifiers(pages: DataFrame, replace_arxiv: bool = True,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             if len(b):
-                yield _batch_extract(b, replace_arxiv, with_text)
+                out = _batch_extract(b, replace_arxiv, with_text, counters)
+                if counters is not None:
+                    counters.n_hits.add(int(out["identifier"].notna().sum()))
+                yield out
 
     return df.mapInPandas(run, schema=RESULT_SCHEMA)
 

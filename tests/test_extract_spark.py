@@ -120,6 +120,21 @@ def test_cache_fast_path(spark, sf_dir):
         assert res.loc[u]["tier"] == -1
 
 
+def test_accumulator_counters(spark, sf_dir):
+    from pdf2doi_spark.operators.extract import (
+        ExtractionCounters,
+        extract_identifiers,
+    )
+
+    pages = pages_from_documents(spark, sf_dir).limit(64)
+    counters = ExtractionCounters(spark.sparkContext)
+    res = extract_identifiers(pages, with_text=False, counters=counters)
+    n = res.count()
+    got = counters.as_dict()
+    assert got["n_docs"] == n == 64
+    assert 0 < got["n_hits"] <= got["n_candidates"] <= got["n_docs"]
+
+
 def test_metrics_and_report(spark, sf_dir):
     from pdf2doi_spark.operators.extract import (
         extract_identifiers,
