@@ -95,11 +95,15 @@ def find_identifier_in_text(texts) -> Tuple[Optional[str], Optional[str], Option
             # worse than lossy decoding — divergence documented + tested.
             text = text.decode(errors="replace")
 
-        for v in range(len(doi_regexp)):
-            for candidate in extract_doi_from_text(text, version=v):
-                standard = standardise_doi(candidate)
-                if standard is not None:  # offline validation == standardisable
-                    return standard, "DOI", v
+        # Literal gate: every DOI tier requires '10.' (caseless), so a unit
+        # without it can never yield a DOI candidate — skipping the five
+        # findall passes changes nothing but time.
+        if "10." in text:
+            for v in range(len(doi_regexp)):
+                for candidate in extract_doi_from_text(text, version=v):
+                    standard = standardise_doi(candidate)
+                    if standard is not None:  # offline validation == standardisable
+                        return standard, "DOI", v
 
         for v in range(len(arxiv_regexp)):
             for candidate in extract_arxivID_from_text(text, version=v):

@@ -119,8 +119,11 @@ def extract_meta(html) -> List[Tuple[str, str]]:
 def _block_stats(segment: str) -> Tuple[str, int, int]:
     """(visible_text, text_len, link_text_len) for one block segment."""
     link_chars = 0
-    for a in _ANCHOR_RE.finditer(segment):
-        link_chars += len(_WS_RE.sub(" ", _TAG_RE.sub(" ", a.group(1))).strip())
+    # literal gate: the anchor regex requires '<a'/'<A'; most content blocks
+    # have neither, so the finditer pass is skipped wholesale
+    if "<a" in segment or "<A" in segment:
+        for a in _ANCHOR_RE.finditer(segment):
+            link_chars += len(_WS_RE.sub(" ", _TAG_RE.sub(" ", a.group(1))).strip())
     visible = _WS_RE.sub(" ", _TAG_RE.sub(" ", segment))
     visible = _unescape_basic(visible).strip()
     return visible, len(visible), link_chars
