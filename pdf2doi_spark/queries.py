@@ -824,6 +824,50 @@ def _q_sessionize():
     return q, sql
 
 
+def _q_metrics_cube():
+    """Grouping-sets coverage: CUBE(lang, source) document counts — the
+    multi-dimensional rollup shape for extraction audit dashboards."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = _docs(spark, sf_dir)
+        return (
+            d.cube("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("lang", "source")
+        )
+
+    sql = """
+        SELECT lang, source, count(*) AS n_docs
+        FROM documents GROUP BY CUBE (lang, source)
+        ORDER BY lang, source
+    """
+    return q, sql
+
+
+def _q_distinct_counts():
+    """Distinct aggregation: per-source distinct fingerprints + doc counts
+    (two-pass distinct agg, map-side partial)."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = _docs(spark, sf_dir)
+        fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+        return (
+            d.select("source", fp.alias("fp"))
+            .groupBy("source")
+            .agg(
+                F.countDistinct("fp").alias("n_distinct_docs"),
+                F.count(F.lit(1)).alias("n_docs"),
+            )
+            .orderBy("source")
+        )
+
+    sql = r"""
+        SELECT source,
+               count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_distinct_docs,
+               count(*) AS n_docs
+        FROM documents GROUP BY source ORDER BY source
+    """
+    return q, sql
+
+
 def _q_topk_per_group():
     """Per-language top-3 longest documents — window row_number + filter,
     the generic top-k-per-group shape (rank shuffle on the group key only)."""
@@ -997,6 +1041,8 @@ _BUILDERS = {
     "embedding_near_dups": _q_embedding_near_dups,
     "sessionize": _q_sessionize,
     "topk_per_group": _q_topk_per_group,
+    "metrics_cube": _q_metrics_cube,
+    "distinct_counts": _q_distinct_counts,
 }
 
 
