@@ -69,18 +69,28 @@ def _materialize_pages(spark, sf_dir: str, replicate: int) -> tuple:
     t0 = time.perf_counter()
     df = pages_from_documents(spark, sf_dir, replicate=replicate)
     if replicate > 1:
-        df = df.repartition(256)
+        # Enough files that every parallelism level gets whole-file tasks
+        # well under _BENCH_READ_CONF's 1 MB split target (no file ever
+        # bisected into a row-group-less empty chunk), and enough waves at
+        # local[32] that one straggler can't skew the wall clock.
+        df = df.repartition(512)
     df.write.mode("overwrite").parquet(path)
     return path, round(time.perf_counter() - t0, 3)
 
 
 # Bench sessions read many small local files; the production 128 MB split
 # target would pack them into a handful of partitions and cap parallelism
-# (a bench artifact — a 100 TB table has ~800k natural splits). Small
-# splits restore one-task-per-file granularity.
+# (a bench artifact — a 100 TB table has ~800k natural splits). The conf
+# must yield EXACTLY one task per file: with the previous 4 MB/256 KB pair
+# the ~580 KB files still packed ~5-per-task into 52 partitions, and the
+# resulting wave imbalance at local[32] cost 2.5x throughput (34k vs 117k
+# docs/s, measured). openCostInBytes == maxPartitionBytes forces
+# one-file-per-task outright:
+# every file's packing cost (size + openCost) overflows the bin, and no
+# bench file exceeds 1 MB so nothing is ever bisected.
 _BENCH_READ_CONF = {
-    "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
-    "spark.sql.files.openCostInBytes": str(256 * 1024),
+    "spark.sql.files.maxPartitionBytes": str(1 * 1024 * 1024),
+    "spark.sql.files.openCostInBytes": str(1 * 1024 * 1024),
 }
 
 
@@ -125,10 +135,13 @@ def _scaling(sf_dir: str):
     boot.stop()
 
     out = {}
+    # Run counts per level: short runs (16/32 cores) need more passes for a
+    # stable min under ambient one-sided noise; the ~50 s local[4] runs
+    # self-average. Observed same-boot spread reaches 50% on short runs.
     for label, master, runs in (
         ("local4", "local[4]", 3),
-        ("local16", "local[16]", 4),
-        ("local32", "local[32]", 3),
+        ("local16", "local[16]", 6),
+        ("local32", "local[32]", 5),
     ):
         spark = build_session(master=master, app_name=f"bench-{master}",
                               extra_conf=_BENCH_READ_CONF)
@@ -174,7 +187,7 @@ def main() -> None:
                           extra_conf=_BENCH_READ_CONF)
     try:
         pages_path, synth_sec = _materialize_pages(spark, SF_DIR, REPLICATE)
-        flag_dt, n_docs, _flag_runs = _timed(_flagship(spark, pages_path))
+        flag_dt, n_docs, _flag_runs = _timed(_flagship(spark, pages_path), runs=3)
         timings = {"extract_cascade": round(flag_dt, 3), "pages_synth": synth_sec}
         qs = build_queries()
         for name in HEADLINE:
