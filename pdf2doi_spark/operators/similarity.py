@@ -102,6 +102,79 @@ def ann_lsh_topk(df: DataFrame, query: Sequence[float], k: int = 10,
     return cosine_topk(candidates, query, k, id_col, vec_col)
 
 
+def ann_ivf_topk(df: DataFrame, query: Sequence[float], k: int = 10,
+                 nprobe: int = 3, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 label_col: str = "label") -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest centroid
+    cell, then exact-cosine search only the ``nprobe`` cells nearest the
+    query.
+
+    Scale shape (the part that matters at 10^9+ vectors):
+
+    * the centroid codebook is tiny, so it is **collected once and inlined
+      as a literal array of structs** — cell assignment is then a pure
+      map-side ``transform``/``array_max`` over that in-task codebook: no
+      join, no shuffle, whole-stage codegen end-to-end;
+    * probe-cell selection is a driver-side decision over the same tiny
+      codebook (like the query literal itself);
+    * the final exact rerank touches only ~nprobe/n_cells of the data; in a
+      real deployment the cell id is a partition/bucket column so the scan
+      itself prunes to the probed cells.
+
+    Centroids here are per-label means (``pairwise_label_centroids``) —
+    a deterministic stand-in for a trained k-means codebook, which keeps
+    every arithmetic step SQL-expressible for the DuckDB oracle. All
+    cosines are rounded to 6 dp before any argmax/rank so tie-breaks
+    (higher label wins assignment; lower label wins probe order) are
+    engine-independent.
+    """
+    cents = pairwise_label_centroids(df, vec_col, label_col)
+    rows = [(r[label_col], [float(x) for x in r["centroid"]]) for r in cents.collect()]
+
+    def _py_cos(c):
+        num = 0.0
+        for a, b in zip(c, query):
+            num += a * float(b)
+        na = 0.0
+        for a in c:
+            na += a * a
+        nb = 0.0
+        for b in query:
+            nb += float(b) * float(b)
+        return round(num / ((na ** 0.5) * (nb ** 0.5)), 6)
+
+    probe = [lab for lab, _c in sorted(
+        rows, key=lambda lc: (-_py_cos(lc[1]), lc[0])
+    )[:nprobe]]
+
+    q = F.array(*[F.lit(float(x)) for x in query])
+    codebook = F.array(*[
+        F.struct(
+            F.lit(int(lab)).alias("cell"),
+            F.array(*[F.lit(v) for v in c]).alias("c"),
+        )
+        for lab, c in rows
+    ])
+    cell_scores = F.transform(
+        codebook,
+        lambda s: F.struct(
+            F.round(
+                _dot(F.col(vec_col), s["c"])
+                / (_norm(F.col(vec_col)) * _norm(s["c"])),
+                6,
+            ).alias("ccos"),
+            s["cell"].alias("cell"),
+        ),
+    )
+    assigned = df.select(
+        F.col(id_col), F.col(vec_col),
+        F.array_max(cell_scores)["cell"].alias("cell"),
+    )
+    candidates = assigned.filter(F.col("cell").isin(*[int(p) for p in probe]))
+    return cosine_topk(candidates, query, k, id_col, vec_col)
+
+
 def pairwise_label_centroids(df: DataFrame, vec_col: str = "embedding",
                              label_col: str = "label") -> DataFrame:
     """Per-label centroid vectors — the aggregation building block for IVF

@@ -675,6 +675,141 @@ def _q_ann_lsh_topk():
     return q, None  # hash-derived hyperplanes: rows-only check
 
 
+_CENTROID_CTE = """
+        e AS (
+          SELECT label,
+                 generate_subscripts(embedding, 1) - 1 AS pos,
+                 unnest(embedding) AS val
+          FROM embeddings
+        ),
+        cents AS (
+          SELECT label, list(round(mean_val, 6) ORDER BY pos) AS c
+          FROM (
+            SELECT label, pos, avg(CAST(val AS DOUBLE)) AS mean_val
+            FROM e GROUP BY label, pos
+          )
+          GROUP BY label
+        ),
+        q AS (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0
+        )
+"""
+
+
+def _q_ann_ivf_topk():
+    """IVF ANN: nearest-centroid cell assignment (map-only, inlined
+    codebook), probe the 3 cells nearest the query, exact cosine rerank
+    within them. Exact DuckDB oracle: every step (centroid means, rounded
+    cosines, DESC/label tie-breaks) is replicated in SQL."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.similarity import ann_ivf_topk
+
+        e = _emb(spark, sf_dir)
+        qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+        return ann_ivf_topk(e, qvec, k=10, nprobe=3)
+
+    sql = f"""
+        WITH {_CENTROID_CTE},
+        probe AS (
+          SELECT c.label FROM cents c, q
+          ORDER BY round(list_dot_product(c.c, q.qv)
+                         / (sqrt(list_dot_product(c.c, c.c))
+                            * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+                   c.label
+          LIMIT 3
+        ),
+        v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        assign AS (
+          SELECT vec_id, v, label FROM (
+            SELECT v.vec_id, v.v, c.label,
+                   row_number() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY round(list_dot_product(v.v, c.c)
+                                    / (sqrt(list_dot_product(v.v, v.v))
+                                       * sqrt(list_dot_product(c.c, c.c))), 6) DESC,
+                              c.label DESC
+                   ) AS rn
+            FROM v, cents c
+          ) WHERE rn = 1
+        )
+        SELECT a.vec_id,
+               round(list_dot_product(a.v, q.qv)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+        FROM assign a, q
+        WHERE a.label IN (SELECT label FROM probe)
+        ORDER BY cosine DESC, a.vec_id
+        LIMIT 10
+    """
+    return q, sql
+
+
+def _q_length_percentiles():
+    """Exact grouped quantiles of document length per language — the
+    statistical profile a quality-threshold pass needs before filtering at
+    scale (one shuffle on the tiny lang key; Spark's exact ``percentile``
+    and DuckDB's ``quantile_cont`` share linear-interpolation semantics)."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = _docs(spark, sf_dir).select(
+            "lang", F.length("text").alias("len")
+        )
+        return (
+            d.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                *[
+                    F.round(F.percentile(F.col("len"), F.lit(p)), 5).alias(a)
+                    for p, a in ((0.25, "p25"), (0.5, "p50"),
+                                 (0.75, "p75"), (0.95, "p95"))
+                ],
+            )
+            .orderBy("lang")
+        )
+
+    sql = """
+        SELECT lang,
+               count(*) AS n_docs,
+               round(quantile_cont(length(text), 0.25), 5) AS p25,
+               round(quantile_cont(length(text), 0.50), 5) AS p50,
+               round(quantile_cont(length(text), 0.75), 5) AS p75,
+               round(quantile_cont(length(text), 0.95), 5) AS p95
+        FROM documents
+        GROUP BY lang ORDER BY lang
+    """
+    return q, sql
+
+
+def _q_approx_stats():
+    """Sketch-based per-source profile: HyperLogLog distinct counts +
+    t-digest-style quantiles (``approx_count_distinct`` /
+    ``approx_percentile``). These are THE 100 TB statistics operators —
+    fixed-size sketch state, map-side mergeable, no exact shuffle of raw
+    values. Sketch internals differ across engines, so no value oracle;
+    tests pin each estimate within tolerance of the exact answer
+    (tests/test_operators.py::test_approx_stats_tolerance)."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = _docs(spark, sf_dir)
+        return (
+            d.groupBy("source")
+            .agg(
+                F.approx_count_distinct("text").alias("approx_distinct_texts"),
+                F.approx_count_distinct("doc_id").alias("approx_distinct_ids"),
+                F.round(
+                    F.percentile_approx(F.length("text"), F.lit(0.5), F.lit(1000)),
+                    5,
+                ).alias("approx_median_len"),
+            )
+            .orderBy("source")
+        )
+
+    return q, None  # sketch estimates are engine-specific: rows-only check
+
+
 def _q_label_centroids():
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pdf2doi_spark.operators.similarity import pairwise_label_centroids
@@ -1033,7 +1168,10 @@ _BUILDERS = {
     "simhash": _q_simhash,
     "cosine_topk": _q_cosine_topk,
     "ann_lsh_topk": _q_ann_lsh_topk,
+    "ann_ivf_topk": _q_ann_ivf_topk,
     "label_centroids": _q_label_centroids,
+    "length_percentiles": _q_length_percentiles,
+    "approx_stats": _q_approx_stats,
     "title_select": _q_title_select,
     "domain_counts_salted": _q_domain_counts,
     "events_windowed": _q_events_windowed,

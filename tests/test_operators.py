@@ -275,3 +275,54 @@ def test_streaming_matches_batch(spark, sf_dir, tmp_path):
     )
     pd.testing.assert_frame_equal(got, want)
     pages.unpersist()
+
+
+# ------------------------------------------------------------- IVF / sketch
+
+def test_ann_ivf_full_probe_equals_exact(spark, sf_dir):
+    """Probing every IVF cell must reproduce the exact brute-force top-k
+    (the cells partition the table), and recall must be monotone
+    non-decreasing in nprobe."""
+    from pdf2doi_spark.operators.similarity import ann_ivf_topk, cosine_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    n_cells = e.select("label").distinct().count()
+    exact = [(r.vec_id, r.cosine) for r in cosine_topk(e, qvec, k=10).collect()]
+    full = [(r.vec_id, r.cosine)
+            for r in ann_ivf_topk(e, qvec, k=10, nprobe=n_cells).collect()]
+    assert full == exact
+
+    exact_ids = {v for v, _ in exact}
+    prev = -1.0
+    for nprobe in (1, 3, n_cells):
+        got = {r.vec_id for r in ann_ivf_topk(e, qvec, k=10, nprobe=nprobe).collect()}
+        recall = len(got & exact_ids) / len(exact_ids)
+        assert recall >= prev
+        prev = recall
+    assert prev == 1.0
+
+
+def test_approx_stats_tolerance(spark, sf_dir):
+    """HLL distinct counts within 10% of exact; approx median within the
+    exact p25-p75 band (both per source)."""
+    from pdf2doi_spark.queries import build_queries
+
+    approx = (
+        build_queries()["approx_stats"](spark, sf_dir)
+        .toPandas().set_index("source")
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = (
+        d.groupBy("source")
+        .agg(
+            F.countDistinct("text").alias("nd_text"),
+            F.expr("percentile(length(text), array(0.25, 0.75))").alias("band"),
+        )
+        .toPandas().set_index("source")
+    )
+    for src, row in exact.iterrows():
+        est = approx.loc[src]
+        assert abs(est["approx_distinct_texts"] - row["nd_text"]) <= 0.1 * row["nd_text"] + 1
+        lo, hi = row["band"]
+        assert lo <= est["approx_median_len"] <= hi
