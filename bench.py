@@ -43,6 +43,8 @@ HEADLINE = [
     "exact_dup_groups",
     "minhash_bands",
     "cosine_topk",
+    "ann_ivf_topk",
+    "length_percentiles",
     "quality_score",
     "token_count",
     "domain_counts_salted",

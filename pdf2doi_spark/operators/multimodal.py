@@ -104,6 +104,49 @@ def extract_features(media: DataFrame) -> DataFrame:
     return cols.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = "media_id long, out_width int, out_height int, pixels array<float>"
+
+
+def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Batched image resize over opaque payloads.
+
+    The decode step is the stub (``fake_decode`` pseudo-pixels tiled to the
+    row's true ``width × height``); the resize itself is a REAL
+    nearest-neighbor resample (vectorized numpy index mapping) — exactly the
+    kernel a codec-equipped deployment would run after a real decode. The
+    metadata filter (``kind = 'image'`` and non-null dims) is native, so the
+    scan prunes non-image rows before any payload bytes move to Python.
+    """
+    cols = media.filter(
+        (F.col("kind") == "image")
+        & F.col("width").isNotNull()
+        & F.col("height").isNotNull()
+    ).select("media_id", "payload", "width", "height")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            pixels = []
+            for p, w, h in zip(b["payload"], b["width"], b["height"]):
+                w, h = int(w), int(h)
+                seed = fake_decode(bytes(p) if p is not None else b"")
+                reps = int(np.ceil(w * h / len(seed)))
+                src = np.tile(seed, reps)[: w * h].reshape(h, w)
+                ys = np.arange(out_h) * h // out_h
+                xs = np.arange(out_w) * w // out_w
+                dst = src[np.ix_(ys, xs)]
+                pixels.append((dst / 255.0).astype(np.float32).ravel().tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "out_width": out_w,
+                    "out_height": out_h,
+                    "pixels": pixels,
+                }
+            )
+
+    return cols.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """Frame-sampling *plan* for video rows: native expressions compute the
     sample timestamps (no decode needed — metadata-only, fully pushed

@@ -326,3 +326,36 @@ def test_approx_stats_tolerance(spark, sf_dir):
         assert abs(est["approx_distinct_texts"] - row["nd_text"]) <= 0.1 * row["nd_text"] + 1
         lo, hi = row["band"]
         assert lo <= est["approx_median_len"] <= hi
+
+
+def test_resize_images_plumbing(spark):
+    """Resize kernel: correct output shape per row, deterministic across
+    runs, and identity when target dims equal source dims."""
+    import numpy as np
+    from pdf2doi_spark.operators.multimodal import (
+        fake_decode, resize_images, synth_media,
+    )
+
+    media = synth_media(spark, n=24).cache()
+    out = resize_images(media, out_w=4, out_h=4).toPandas()
+    imgs = media.filter(F.col("kind") == "image").toPandas()
+    assert len(out) == len(imgs)
+    assert all(len(p) == 16 for p in out["pixels"])
+    again = resize_images(media, out_w=4, out_h=4).toPandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("media_id").reset_index(drop=True),
+        again.sort_values("media_id").reset_index(drop=True),
+    )
+
+    # identity: resizing one row to its own dims reproduces the tiled source
+    row = imgs.iloc[0]
+    w, h = int(row["width"]), int(row["height"])
+    ident = (
+        resize_images(media.filter(F.col("media_id") == int(row["media_id"])),
+                      out_w=w, out_h=h)
+        .toPandas().iloc[0]
+    )
+    seed = fake_decode(bytes(row["payload"]))
+    src = np.tile(seed, int(np.ceil(w * h / len(seed))))[: w * h] / 255.0
+    np.testing.assert_allclose(np.array(ident["pixels"]), src.astype(np.float32))
+    media.unpersist()
