@@ -117,15 +117,22 @@ def extract_meta(html) -> List[Tuple[str, str]]:
 
 
 def _block_stats(segment: str) -> Tuple[str, int, int]:
-    """(visible_text, text_len, link_text_len) for one block segment."""
+    """(visible_text, text_len, link_text_len) for one block segment.
+
+    Literal gates below are pure fast paths: each regex/replace pass is
+    skipped only when its trigger literal is absent, in which case the pass
+    is the identity — output is byte-identical to the ungated pipeline.
+    """
     link_chars = 0
-    # literal gate: the anchor regex requires '<a'/'<A'; most content blocks
-    # have neither, so the finditer pass is skipped wholesale
+    # the anchor regex requires '<a'/'<A'; most content blocks have neither
     if "<a" in segment or "<A" in segment:
         for a in _ANCHOR_RE.finditer(segment):
             link_chars += len(_WS_RE.sub(" ", _TAG_RE.sub(" ", a.group(1))).strip())
-    visible = _WS_RE.sub(" ", _TAG_RE.sub(" ", segment))
-    visible = _unescape_basic(visible).strip()
+    visible = _TAG_RE.sub(" ", segment) if "<" in segment else segment
+    visible = _WS_RE.sub(" ", visible)
+    if "&" in visible:
+        visible = _unescape_basic(visible)
+    visible = visible.strip()
     return visible, len(visible), link_chars
 
 
@@ -149,11 +156,15 @@ def extract_main_content(html) -> str:
     if not text:
         return ""
     try:
-        text = _COMMENT_RE.sub(" ", text)
+        if "<!--" in text:
+            text = _COMMENT_RE.sub(" ", text)
         text = _STRIP_RE.sub(" ", text)
         kept: List[str] = []
         for segment in _BLOCK_SPLIT_RE.split(text):
-            if not segment or segment.isspace():
+            # visible text is never longer than its segment (every pipeline
+            # pass shrinks or preserves length), so a segment shorter than
+            # the acceptance floor can be rejected without scoring it
+            if len(segment) < MIN_BLOCK_CHARS or segment.isspace():
                 continue
             visible, n_chars, link_chars = _block_stats(segment)
             if n_chars < MIN_BLOCK_CHARS:
