@@ -104,3 +104,16 @@ def test_metrics_use_partial_aggregation(spark, pages_parquet):
     plan = _plan(method_metrics(extract_identifiers(pages, with_text=False)))
     # two HashAggregates around one exchange = map-side partial agg
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_ivf_search_is_shuffle_free(spark, sf_dir):
+    """The IVF search plan (after the tiny codebook is collected) must be
+    scan -> map-side cell assignment -> filter -> TakeOrderedAndProject:
+    zero Exchange nodes, so at 10^9+ vectors nothing ever shuffles."""
+    from pdf2doi_spark.operators.similarity import ann_ivf_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    plan = _plan(ann_ivf_topk(e, qvec, k=10, nprobe=3))
+    assert "Exchange" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
