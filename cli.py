@@ -39,6 +39,16 @@ def main() -> None:
                     help="do not replace arXiv IDs with synthetic DOIs")
     ap.add_argument("-nwv", action="store_true", help="(no-op: always offline)")
     ap.add_argument("-nws", action="store_true", help="(no-op: always offline)")
+    ap.add_argument("-id", dest="set_id", default=None, metavar="IDENTIFIER",
+                    help="manually associate IDENTIFIER with the target url "
+                         "(reference -id flag, main.py:347-353): upserts the "
+                         "identifier cache instead of running extraction; "
+                         "requires --cache")
+    ap.add_argument("--cache", default=None, metavar="PATH",
+                    help="identifier cache table (parquet). During extraction "
+                         "it is broadcast-joined in as the method-#1 fast "
+                         "path and updated with new hits afterwards "
+                         "(reference write-back memoization, main.py:98-100)")
     ap.add_argument("--glob", default="*.html", help="raw-file glob (default *.html)")
     ap.add_argument("--master", default="local[*]")
     args = ap.parse_args()
@@ -49,6 +59,33 @@ def main() -> None:
 
     spark = build_session(master=args.master, app_name="pdf2doi-cli")
     try:
+        if args.set_id is not None:
+            # Manual tagging mode (reference -id, main.py:347-353): validate
+            # syntactically, then upsert (url -> identifier) into the cache
+            # table so the next extraction resolves it as the method-#1
+            # fast path — the Spark analogue of writing the identifier into
+            # the PDF's own metadata.
+            from pdf2doi_spark.core.patterns import standardise_doi, validate_offline
+            from pdf2doi_spark.sources.io import merge_cache
+
+            if not args.cache:
+                sys.exit("error: -id requires --cache PATH")
+            ident = args.set_id
+            if validate_offline(ident, "doi"):
+                ident, id_type = standardise_doi(ident), "DOI"
+            elif validate_offline(ident, "arxiv"):
+                id_type = "arxiv ID"
+            else:
+                sys.exit(f"error: {ident!r} is not a valid DOI or arXiv ID")
+            row = spark.createDataFrame(
+                [(args.target, ident, id_type, "manual", None)],
+                "url string, identifier string, identifier_type string, "
+                "method string, tier int",
+            )
+            merge_cache(spark, args.cache, row)
+            print(f"{id_type:<15s} {ident:<40s} {args.target:<10s}")
+            return
+
         if os.path.isdir(args.target) and any(
             f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(args.target)
         ):
@@ -58,9 +95,18 @@ def main() -> None:
         else:
             pages = read_pages(spark, args.target)
 
+        cache_df = None
+        if args.cache and os.path.exists(args.cache):
+            cache_df = spark.read.parquet(args.cache)
         results = extract_identifiers(
-            pages, replace_arxiv=not args.no_arxiv2doi, with_text=False
+            pages, replace_arxiv=not args.no_arxiv2doi, with_text=False,
+            cache=cache_df,
         )
+        if args.cache:
+            from pdf2doi_spark.sources.io import merge_cache
+
+            results = results.cache()
+            merge_cache(spark, args.cache, results)
         lines = [r["report_line"] for r in format_report(results).collect()]
         for line in lines:
             print(line)
