@@ -144,6 +144,78 @@ def _q_doi_tier4():
     return _tier_query(4, lambda doi: doi, _DOI_SQL)
 
 
+def _q_tier_rank():
+    """First-match-wins tier semantics re-expressed RELATIONALLY: one
+    extraction column per tier → explode to (doc, tier, candidate) rows →
+    ``Window.partitionBy(doc).orderBy(tier)`` → rank-1 row per doc. This is
+    the pure-SQL alternative SURVEY F3/§2.6 describes; the engine of record
+    stays the sequential kernel, and
+    tests/test_operators.py::test_tier_rank_matches_kernel proves the two
+    formulations pick the same winning tier on validated inputs (the
+    synthetic texts deliberately overlap: a ``doi:``-prefixed hit also
+    matches the looser bare tier, a URL-form hit also matches tier 1)."""
+    def mk_inp_spark():
+        doi = _doi_col()
+        return (
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit("see doi: "), doi, F.lit(" end")))
+            .when(F.col("doc_id") % 4 == 1,
+                  F.concat(F.lit("bare "), doi, F.lit(" follows")))
+            .when(F.col("doc_id") % 4 == 2,
+                  F.concat(F.lit("at https://doi.org/"), doi, F.lit(" now")))
+            .otherwise(F.col("text"))
+        )
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        d = _docs(spark, sf_dir)
+        tiers = F.array(*[
+            F.struct(
+                F.lit(t).alias("tier"),
+                _extract(mk_inp_spark(), doi_regexp[t]).alias("cand"),
+            )
+            for t in range(5)
+        ])
+        hits = (
+            d.select(F.col("doc_id"), F.explode(tiers).alias("h"))
+            .select("doc_id", F.col("h.tier").alias("tier"),
+                    F.col("h.cand").alias("doi_found"))
+            .filter(F.col("doi_found").isNotNull())
+        )
+        w = Window.partitionBy("doc_id").orderBy("tier")
+        return (
+            hits.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .orderBy("doc_id")
+        )
+
+    inp_sql = (
+        f"CASE WHEN doc_id % 4 = 0 THEN 'see doi: ' || {_DOI_SQL} || ' end' "
+        f"WHEN doc_id % 4 = 1 THEN 'bare ' || {_DOI_SQL} || ' follows' "
+        f"WHEN doc_id % 4 = 2 THEN 'at https://doi.org/' || {_DOI_SQL} || ' now' "
+        f"ELSE text END"
+    )
+    unions = "\n          UNION ALL\n".join(
+        f"          SELECT doc_id, {t} AS tier, "
+        f"{_sql_extract(inp_sql, doi_regexp[t])} AS doi_found FROM documents"
+        for t in range(5)
+    )
+    sql = f"""
+        WITH hits AS (
+{unions}
+        )
+        SELECT doc_id, tier, doi_found FROM (
+          SELECT doc_id, tier, doi_found,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY tier) AS rn
+          FROM hits WHERE doi_found IS NOT NULL
+        ) WHERE rn = 1
+        ORDER BY doc_id
+    """
+    return q, sql
+
+
 def _q_arxiv_tier0():
     pattern = arxiv_regexp[0]
 
@@ -1154,6 +1226,7 @@ _BUILDERS = {
     "doi_tier3": _q_doi_tier3,
     "doi_tier4": _q_doi_tier4,
     "arxiv_tier0": _q_arxiv_tier0,
+    "tier_rank": _q_tier_rank,
     "standardise_doi": _q_standardise,
     "filename_extract": _q_filename_extract,
     "ascii_scrub": _q_ascii_scrub,

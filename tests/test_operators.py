@@ -359,3 +359,48 @@ def test_resize_images_plumbing(spark):
     src = np.tile(seed, int(np.ceil(w * h / len(seed))))[: w * h] / 255.0
     np.testing.assert_allclose(np.array(ident["pixels"]), src.astype(np.float32))
     media.unpersist()
+
+
+def test_tier_rank_matches_kernel(spark, sf_dir):
+    """The relational first-match-wins formulation (explode per-tier hits ->
+    window rank by tier -> rank 1) must pick the same winning tier and the
+    same standardised DOI as the sequential Python kernel on every doc."""
+    from pdf2doi_spark.core.kernel import find_identifier_in_text
+    from pdf2doi_spark.core.patterns import standardise_doi
+    from pdf2doi_spark.queries import build_queries
+
+    rel = (
+        build_queries()["tier_rank"](spark, sf_dir)
+        .toPandas().set_index("doc_id")
+    )
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").toPandas()
+    )
+
+    def synth(row):
+        doc_id = int(row["doc_id"])
+        reg = 1000 + (doc_id * 7919) % 9000
+        doi = f"10.{reg}/j.test.{doc_id}"
+        m = doc_id % 4
+        if m == 0:
+            return f"see doi: {doi} end"
+        if m == 1:
+            return f"bare {doi} follows"
+        if m == 2:
+            return f"at https://doi.org/{doi} now"
+        return row["text"]
+
+    n_hits = 0
+    for _, row in docs.iterrows():
+        ident, id_type, tier = find_identifier_in_text([synth(row)])
+        doc_id = int(row["doc_id"])
+        if ident is None or id_type != "DOI":
+            assert doc_id not in rel.index
+            continue
+        n_hits += 1
+        assert doc_id in rel.index
+        got = rel.loc[doc_id]
+        assert int(got["tier"]) == tier, (doc_id, tier, got["tier"])
+        assert standardise_doi(got["doi_found"]) == ident
+    assert n_hits > 0 and len(rel) == n_hits
