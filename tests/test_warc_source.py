@@ -1,0 +1,58 @@
+"""WARC source: round-trip across all three compression layouts, and
+end-to-end extraction over an ingested archive."""
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf2doi_spark.sources.warc import (
+    build_warc_bytes, iter_warc_records, read_warc,
+)
+
+RECORDS = [
+    ("https://example.org/a", "2024-01-01T00:00:00Z",
+     b"<html><head><meta name=\"citation_doi\" content=\"10.1063/1.2409490\">"
+     b"</head><body><p>Physics paper body text, long enough to keep.</p></body></html>"),
+    ("https://example.org/b", "2024-01-02T12:30:00Z",
+     b"<html><body><p>No identifier in this record, just plain filler text.</p></body></html>"),
+    ("https://example.org/c", "2024-01-03T06:15:00Z",
+     b"<html><body><p>See doi: 10.1038/s41586-019-1666-5 for the details here.</p></body></html>"),
+]
+
+
+@pytest.mark.parametrize("compression", ["none", "file", "member"])
+def test_iter_warc_records_roundtrip(compression):
+    payload = build_warc_bytes(RECORDS, compression=compression)
+    got = list(iter_warc_records(payload))
+    assert [(u, b) for u, _ts, b in got] == [(u, b) for u, _t, b in RECORDS]
+    assert got[0][1].isoformat() == "2024-01-01T00:00:00+00:00"
+
+
+def test_iter_warc_records_total_on_garbage():
+    for junk in (b"", b"\x1f\x8b\x00garbage", b"WARC/1.0\r\nbroken",
+                 b"WARC/1.0\r\nContent-Length: zzz\r\n\r\n", os.urandom(256)):
+        assert isinstance(list(iter_warc_records(junk)), list)
+
+
+def test_read_warc_extracts_identifiers(spark, tmp_path):
+    from pdf2doi_spark.operators.extract import extract_identifiers
+
+    d = tmp_path / "warcs"
+    d.mkdir()
+    (d / "part1.warc").write_bytes(build_warc_bytes(RECORDS[:2], "none"))
+    (d / "part2.warc.gz").write_bytes(build_warc_bytes(RECORDS[2:], "member"))
+
+    pages = read_warc(spark, str(d))
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+    out = (
+        extract_identifiers(pages, with_text=False)
+        .select("url", "identifier", "method")
+        .toPandas().set_index("url")
+    )
+    assert len(out) == 3
+    assert out.loc["https://example.org/a"]["identifier"] == "10.1063/1.2409490"
+    assert out.loc["https://example.org/a"]["method"] == "document_infos"
+    assert out.loc["https://example.org/b"]["identifier"] is None
+    assert out.loc["https://example.org/c"]["identifier"] == "10.1038/s41586-019-1666-5"
+    assert out.loc["https://example.org/c"]["method"] == "document_text"
