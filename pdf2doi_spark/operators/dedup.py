@@ -261,3 +261,62 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFrame:
+    """Near-duplicate clustering finisher: ``(a, b)`` pair list →
+    ``(node, component)`` where component is the minimum node id reachable.
+
+    This is the step that turns pairwise candidates (MinHash/SimHash band
+    collisions, verified Jaccard pairs) into dedup clusters with a
+    deterministic canonical representative (the component id itself).
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbours' labels; converges in
+    O(component diameter) rounds. Near-dup graphs are unions of small
+    dense clusters (tiny diameter), so a handful of rounds suffices; the
+    production-hardened variant for adversarial diameters is
+    large-star/small-star (alternating, same DataFrame shapes). Each round
+    is one broadcast-free join + min-agg; ``localCheckpoint`` truncates the
+    lineage so the plan does not grow with iterations.
+    """
+    sym = (
+        edges.select(F.col("a").cast("long").alias("src"),
+                     F.col("b").cast("long").alias("dst"))
+        .union(edges.select(F.col("b").cast("long").alias("src"),
+                            F.col("a").cast("long").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neigh = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .groupBy(sym["dst"].alias("node"))
+            .agg(F.min("label").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("neigh_min", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component")).orderBy("node")

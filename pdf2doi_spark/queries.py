@@ -706,6 +706,49 @@ def _q_minhash_near_dups():
     return q, sql
 
 
+def _q_dup_components():
+    """Connected components over a deterministic near-dup candidate graph
+    (chain edges doc→doc+1 where doc%5<2, long-range edges doc→doc+7 where
+    doc%11==0 — components that genuinely merge across edge kinds). Spark:
+    iterative min-label propagation; oracle: DuckDB recursive CTE computing
+    min reachable id — the same fixpoint by definition."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.dedup import connected_components
+
+        d = _docs(spark, sf_dir).select("doc_id")
+        ids = d.select(F.col("doc_id").alias("b"))
+        chain = (
+            d.filter(F.col("doc_id") % 5 < 2)
+            .select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
+            .join(ids, "b")
+        )
+        longr = (
+            d.filter(F.col("doc_id") % 11 == 0)
+            .select(F.col("doc_id").alias("a"), (F.col("doc_id") + 7).alias("b"))
+            .join(ids, "b")
+        )
+        return connected_components(chain.unionByName(longr))
+
+    sql = """
+        WITH RECURSIVE d AS (SELECT doc_id FROM documents),
+        edges AS (
+          SELECT doc_id AS a, doc_id + 1 AS b FROM d
+          WHERE doc_id % 5 < 2 AND doc_id + 1 IN (SELECT doc_id FROM d)
+          UNION ALL
+          SELECT doc_id AS a, doc_id + 7 AS b FROM d
+          WHERE doc_id % 11 = 0 AND doc_id + 7 IN (SELECT doc_id FROM d)
+        ),
+        sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+        reach(node, r) AS (
+          SELECT DISTINCT a AS node, a AS r FROM sym
+          UNION
+          SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node
+        )
+        SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node
+    """
+    return q, sql
+
+
 # --------------------------------------------------------------------------
 # Similarity family.
 # --------------------------------------------------------------------------
@@ -1238,6 +1281,7 @@ _BUILDERS = {
     "exact_dup_groups": _q_exact_dup_groups,
     "minhash_bands": _q_minhash_bands,
     "minhash_near_dups": _q_minhash_near_dups,
+    "dup_components": _q_dup_components,
     "simhash": _q_simhash,
     "cosine_topk": _q_cosine_topk,
     "ann_lsh_topk": _q_ann_lsh_topk,

@@ -404,3 +404,34 @@ def test_tier_rank_matches_kernel(spark, sf_dir):
         assert int(got["tier"]) == tier, (doc_id, tier, got["tier"])
         assert standardise_doi(got["doi_found"]) == ident
     assert n_hits > 0 and len(rel) == n_hits
+
+
+def test_connected_components_matches_union_find(spark):
+    """Label propagation fixpoint == classic union-find on a graph with
+    merging chains, a cycle, and isolated pairs."""
+    from pdf2doi_spark.operators.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 13),
+             (20, 21), (5, 13), (40, 41)]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(edges, "a long, b long")
+        ).collect()
+    }
+    assert got == want
