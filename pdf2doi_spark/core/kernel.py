@@ -44,6 +44,14 @@ from pdf2doi_spark.core.patterns import (
     standardise_doi,
 )
 
+import re as _re
+
+# Necessary condition for ANY arXiv tier to match: tier 0 carries the
+# literal 'arxiv', tiers 1/2 a 4-digit+dot+digit run. Used as a pure fast
+# path (same predicate as the Spark-side batch prefilter in
+# operators/extract.py).
+_ARXIV_GATE_RE = _re.compile(r"(?i)\d{4}\.\d|arxiv")
+
 # Metadata keys that are checked first when scanning document info / meta
 # tags (reference main.py:156 — '/doi', '/pdf2doi_identifier'; web analogue
 # per SURVEY.md C1: citation_doi / dc.identifier meta tags plus the cache
@@ -105,10 +113,14 @@ def find_identifier_in_text(texts) -> Tuple[Optional[str], Optional[str], Option
                     if standard is not None:  # offline validation == standardisable
                         return standard, "DOI", v
 
-        for v in range(len(arxiv_regexp)):
-            for candidate in extract_arxivID_from_text(text, version=v):
-                if ARXIV2007_RE.match(candidate):
-                    return candidate, "arxiv ID", 10 + v
+        # Same shape of gate for the arXiv bank: tier 0 requires the literal
+        # 'arxiv', tiers 1/2 require a 'NNNN.d' digit run — a unit matching
+        # neither cannot yield a candidate under any tier.
+        if _ARXIV_GATE_RE.search(text):
+            for v in range(len(arxiv_regexp)):
+                for candidate in extract_arxivID_from_text(text, version=v):
+                    if ARXIV2007_RE.match(candidate):
+                        return candidate, "arxiv ID", 10 + v
 
     return None, None, None
 
@@ -165,7 +177,20 @@ def filename_candidates(url: Optional[str]) -> List[str]:
 
 
 def find_identifier_in_filename(url: Optional[str]):
-    """Stage 2 (``filename``): reference finders.py:735-761."""
+    """Stage 2 (``filename``): reference finders.py:735-761.
+
+    Fast path: every filename candidate is a substring of the
+    percent-decoded url (valid ``%XX`` tokens never contain ``/``, so the
+    basename split cannot bisect one — decoding the whole url yields a
+    superstring of the decoded basename). If the decoded url lacks both the
+    ``10.`` DOI marker and any arXiv shape, no candidate can ever validate,
+    and the urlsplit/unquote/accumulate/tier-scan work is skipped outright.
+    """
+    if not url:
+        return None, None, None
+    decoded = unquote(url) if "%" in url else url
+    if "10." not in decoded and _ARXIV_GATE_RE.search(decoded) is None:
+        return None, None, None
     return find_identifier_in_text(filename_candidates(url))
 
 
