@@ -706,6 +706,93 @@ def _q_minhash_near_dups():
     return q, sql
 
 
+def _q_corpus_pipeline():
+    """End-to-end training-corpus pipeline in ONE fused plan: quality
+    features (narrow map) → quality gate → exact dedup (first doc per
+    fingerprint via one window shuffle on fp) → per-language corpus stats
+    (one agg shuffle). The shape a 100 TB pre-training data job actually
+    runs; expressions mirror quality_score/fingerprint exactly so the plan
+    is a single select + window + agg rather than operator-to-operator
+    joins."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        from pdf2doi_spark.operators.quality import EN_MARKERS, PUNCT_CLASS, tokens
+
+        t = F.col("text")
+        toks = tokens(F.lower(t))
+        n_tok = F.size(toks)
+        n_chars = F.length(t)
+        punct = n_chars - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
+        stop_ratio = F.when(
+            n_tok > 0,
+            F.size(F.filter(toks, lambda x: x.isin(*EN_MARKERS))) / n_tok,
+        ).otherwise(F.lit(0.0))
+        mean_wl = F.when(
+            n_tok > 0,
+            F.length(F.regexp_replace(F.trim(t), r"\s+", "")) / n_tok,
+        ).otherwise(F.lit(0.0))
+        punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+        score = (
+            F.when((n_tok >= 10) & (mean_wl >= 2.0) & (mean_wl <= 12.0), F.lit(0.5)).otherwise(F.lit(0.0))
+            + F.when(stop_ratio > 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
+            + F.when(punct_ratio < 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+        )
+        fp = F.md5(F.regexp_replace(F.lower(F.trim(t)), r"\s+", " "))
+
+        scored = _docs(spark, sf_dir).select(
+            "doc_id", "lang",
+            n_tok.alias("n_tokens"),
+            F.round(score, 2).alias("score"),
+            fp.alias("fp"),
+        ).filter((F.round(score, 2) >= 0.7) & (F.col("n_tokens") >= 20))
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("total_tokens"),
+                F.round(F.avg("score"), 6).alias("avg_score"),
+            )
+            .orderBy("lang")
+        )
+
+    sql = r"""
+        WITH t AS (
+          SELECT doc_id, lang, text,
+                 CASE WHEN length(trim(text)) = 0 THEN []
+                      ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks,
+                 length(text) AS n_chars,
+                 length(text) - length(regexp_replace(text, '[\.,;:!\?\)\(]', '', 'g')) AS punct,
+                 length(regexp_replace(trim(text), '\s+', '', 'g')) AS nospace,
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          FROM documents
+        ), m AS (
+          SELECT doc_id, lang, fp, len(toks) AS n_tokens,
+                 round((CASE WHEN len(toks) >= 10
+                              AND (nospace * 1.0 / len(toks)) >= 2.0
+                              AND (nospace * 1.0 / len(toks)) <= 12.0 THEN 0.5 ELSE 0.0 END)
+                     + (CASE WHEN len(toks) > 0 AND
+                             len(list_filter(toks, x -> list_contains(['the','a','and','of','to'], x))) * 1.0 / len(toks) > 0.01
+                        THEN 0.3 ELSE 0.0 END)
+                     + (CASE WHEN n_chars > 0 AND punct * 1.0 / n_chars < 0.2 THEN 0.2 ELSE 0.0 END), 2) AS score
+          FROM t WHERE len(toks) > 0
+        ), kept AS (
+          SELECT * FROM m WHERE score >= 0.7 AND n_tokens >= 20
+        ), dedup AS (
+          SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM kept
+        )
+        SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+               round(avg(score), 6) AS avg_score
+        FROM dedup WHERE rn = 1
+        GROUP BY lang ORDER BY lang
+    """
+    return q, sql
+
+
 def _q_dup_components():
     """Connected components over a deterministic near-dup candidate graph
     (chain edges doc→doc+1 where doc%5<2, long-range edges doc→doc+7 where
@@ -1282,6 +1369,7 @@ _BUILDERS = {
     "minhash_bands": _q_minhash_bands,
     "minhash_near_dups": _q_minhash_near_dups,
     "dup_components": _q_dup_components,
+    "corpus_pipeline": _q_corpus_pipeline,
     "simhash": _q_simhash,
     "cosine_topk": _q_cosine_topk,
     "ann_lsh_topk": _q_ann_lsh_topk,

@@ -167,3 +167,22 @@ def run_resumable(
     spark.read.parquet(tmp).write.mode("overwrite").parquet(manifest_path)
     _rmtree(tmp)
     return spark.read.parquet(results_path)
+
+
+def write_bucketed(df: DataFrame, table: str, n_buckets: int = 256,
+                   key: str = "url") -> None:
+    """Persist a table bucketed+sorted on the join key (Spark-native
+    bucketing; Iceberg analogue: ``bucket(N, url)`` partition transform).
+
+    The 100 TB co-location story: the pages table and the identifier cache
+    are both written bucketed by ``url``, so the cache pre-join (and any
+    MERGE) plans as a SortMergeJoin with ZERO Exchange — neither side of a
+    petabyte join ever shuffles (tests/test_plans.py::
+    test_bucketed_cache_join_is_shuffle_free pins the plan).
+    """
+    (
+        df.write.bucketBy(n_buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )

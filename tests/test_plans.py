@@ -117,3 +117,33 @@ def test_ivf_search_is_shuffle_free(spark, sf_dir):
     plan = _plan(ann_ivf_topk(e, qvec, k=10, nprobe=3))
     assert "Exchange" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bucketed_cache_join_is_shuffle_free(spark, tmp_path):
+    """Pages and cache bucketed on url -> the cache join needs no Exchange
+    on either side (the co-location strategy for the petabyte cache join)."""
+    from pdf2doi_spark.sources.io import write_bucketed
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pages = spark.range(0, 4000).select(
+            F.concat(F.lit("https://x.org/p"), F.col("id")).alias("url"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        cache = spark.range(0, 500).select(
+            F.concat(F.lit("https://x.org/p"), F.col("id")).alias("url"),
+            F.lit("10.1/x").alias("identifier"),
+        )
+        write_bucketed(pages, "pages_bucketed", n_buckets=8)
+        write_bucketed(cache, "cache_bucketed", n_buckets=8)
+        joined = spark.table("pages_bucketed").join(
+            spark.table("cache_bucketed"), "url", "left"
+        )
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 4000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS pages_bucketed")
+        spark.sql("DROP TABLE IF EXISTS cache_bucketed")
