@@ -7,12 +7,13 @@ sorts columns by name before value-hashing).
 
 Inputs are synthesised *deterministically in SQL-expressible form* from the
 provided tables (documents/embeddings), so both engines construct
-bit-identical inputs — no side-channel files. Where a kernel is genuinely
-not SQL-expressible (fused cascade's extracted_text, SimHash, LSH-ANN) the
-oracle is omitted and the driver records the weaker rows-only check; the
-flagship cascade itself HAS an exact oracle because the synthetic pages
-are a pure function of doc_id (see ``pages.py``) and the expected outcome
-per row category is a closed-form CASE expression.
+bit-identical inputs — no side-channel files. Where a result is genuinely
+engine-specific (SimHash's bit votes, LSH-ANN's hash-derived hyperplanes,
+HLL/t-digest sketches) the oracle is omitted and the driver records the
+weaker rows-only check, with a dedicated pytest pinning each instead; the
+flagship cascade AND its extracted_text have exact oracles because the
+synthetic pages are a pure function of doc_id (see ``pages.py``) and the
+expected outcome per row category is a closed-form CASE expression.
 """
 from __future__ import annotations
 
@@ -409,9 +410,15 @@ def _q_method_metrics():
 
 
 def _q_main_content():
-    # Not SQL-expressible (HTML tokenizer) -> rows-only driver check; the
-    # byte-parity guarantee is enforced by tests/test_extract_spark.py
-    # against the vendored Python oracle.
+    """Main-content extraction over the synthetic pages. The tokenizer is
+    not SQL-expressible over ARBITRARY HTML (byte parity there is enforced
+    against the vendored Python spec, tests/test_extract_spark.py), but on
+    the synthetic pages its output IS closed-form: head/script are
+    stripped, the link-dense nav/footer blocks fail the link-density gate,
+    and the one surviving ``<p>`` block's visible text is the known
+    template — so the oracle reconstructs it exactly (whitespace-fold +
+    trim; the document texts contain no entities or control whitespace,
+    asserted in the fixtures)."""
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
         from pdf2doi_spark.operators.extract import extract_identifiers
@@ -420,7 +427,43 @@ def _q_main_content():
         pages = pages_from_documents(spark, sf_dir)
         return extract_identifiers(pages).select("url", "extracted_text")
 
-    return q, None
+    doi3 = ("'10.' || CAST(1000 + ((doc_id+3)*7919)%9000 AS VARCHAR) || "
+            "'/j.test.' || CAST(doc_id+3 AS VARCHAR)")
+    sql = rf"""
+        WITH base AS (
+            SELECT doc_id, source, text,
+                   doc_id % 16 AS cat,
+                   {_DOI_SQL} AS doi,
+                   {_ARXIV_SQL} AS axv,
+                   {_HOSTS_SQL} AS host,
+                   {doi3} AS doi3
+            FROM documents
+        )
+        SELECT
+            CASE WHEN cat = 3 THEN 'https://' || host || '/' || source || '/' || replace(doi, '/', '%2F') || '.pdf'
+                 WHEN cat = 4 THEN 'https://' || host || '/files/' || replace(doi, '/', '%2F') || '.html'
+                 ELSE 'https://' || host || '/' || source || '/page-' || CAST(doc_id AS VARCHAR) || '.html'
+            END AS url,
+            trim(regexp_replace(
+                'Main content for document ' || CAST(doc_id AS VARCHAR) || ': '
+                || substr(text, 1, 400)
+                || CASE cat
+                     WHEN 1 THEN ' Cited as doi: ' || doi || ' in this work.'
+                     WHEN 5 THEN ' See doi: ' || doi || ' for the published version.'
+                     WHEN 6 THEN ' The identifier ' || doi || ' appears bare here.'
+                     WHEN 7 THEN ' run-on form ' || doi || 'and continues.'
+                     WHEN 8 THEN ' Available at https://doi.org/' || doi || ' online.'
+                     WHEN 9 THEN ' First ' || doi || ' then ' || doi3 || ' in one unit.'
+                     WHEN 10 THEN ' Preprint arXiv:' || axv || 'v2 available.'
+                     WHEN 11 THEN ' doi: ' || replace(doi, '/', ':') || ' with colon.'
+                     WHEN 12 THEN ' Sentence ends with ' || doi || '.'
+                     WHEN 13 THEN ' résumé — doi: ' || doi || ' — end.'
+                     ELSE ''
+                   END,
+                '\s+', ' ', 'g')) AS extracted_text
+        FROM base
+    """
+    return q, sql
 
 
 def _q_report_format():
