@@ -71,11 +71,14 @@ def _materialize_pages(spark, sf_dir: str, replicate: int) -> tuple:
     t0 = time.perf_counter()
     df = pages_from_documents(spark, sf_dir, replicate=replicate)
     if replicate > 1:
-        # Enough files that every parallelism level gets whole-file tasks
-        # well under _BENCH_READ_CONF's 1 MB split target (no file ever
-        # bisected into a row-group-less empty chunk), and enough waves at
-        # local[32] that one straggler can't skew the wall clock.
-        df = df.repartition(512)
+        # One file == one task under _BENCH_READ_CONF, so the file count
+        # sets task granularity. ~2000 rows (≈600 KB) per task measured
+        # fastest: 1000-row tasks pay ~40% scheduling/scan overhead, and
+        # packed multi-file tasks straggle (see BENCH.md). Every file stays
+        # well under the 1 MB split target so none is ever bisected.
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        n_files = max(64, (n_docs * replicate) // 2000)
+        df = df.repartition(n_files)
     df.write.mode("overwrite").parquet(path)
     return path, round(time.perf_counter() - t0, 3)
 
