@@ -10,3 +10,52 @@ the pure-Python core in ``pdf2doi_spark.core``.
 """
 
 __version__ = "0.1.0"
+
+
+def pdf2doi(target: str, spark=None, cache: str = None,
+            replace_arxiv: bool = True, with_text: bool = True):
+    """Library entry mirroring the reference's ``pdf2doi.pdf2doi(target)``
+    (EP2, reference ``main.py:12``): point it at a corpus, get back the
+    per-document identifier results — here as a DataFrame instead of a
+    list of dicts (the reference's folder loop IS the table scan).
+
+    ``target`` routing (the reference's directory/file branch, generalized):
+      * a directory of parquet files → pages-table scan;
+      * a directory containing ``*.warc``/``*.warc.gz`` → WARC ingestion;
+      * any other directory → raw-file (``binaryFile``) ingestion of
+        ``*.html``;
+      * a parquet file/path → pages-table scan.
+
+    ``cache``: optional identifier-cache table path — broadcast-joined in
+    as the method-#1 fast path (the reference's write-back memoization);
+    new hits are NOT auto-merged here (use ``cli.py``/``job.py`` for the
+    write side — a library read should not mutate state).
+    """
+    import os
+
+    from pdf2doi_spark.operators.extract import extract_identifiers
+    from pdf2doi_spark.session import build_session
+    from pdf2doi_spark.sources.io import read_pages, read_raw_files
+
+    if spark is None:
+        spark = build_session()
+    if os.path.isdir(target):
+        entries = os.listdir(target)
+        if any(e.endswith(".parquet") or e == "_SUCCESS" for e in entries):
+            pages = read_pages(spark, target)
+        elif any(".warc" in e for e in entries):
+            from pdf2doi_spark.sources.warc import read_warc
+
+            pages = read_warc(spark, target)
+        else:
+            pages = read_raw_files(spark, target)
+    else:
+        pages = read_pages(spark, target)
+
+    cache_df = None
+    if cache is not None and os.path.exists(cache):
+        cache_df = spark.read.parquet(cache)
+    return extract_identifiers(
+        pages, replace_arxiv=replace_arxiv, with_text=with_text,
+        cache=cache_df,
+    )
