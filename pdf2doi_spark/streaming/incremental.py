@@ -70,3 +70,49 @@ def run_stream_once(spark: SparkSession, landing_dir: str, out_dir: str) -> None
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(pages_stream: DataFrame, within: str = "1 hour") -> DataFrame:
+    """Streaming url-dedup with bounded state: recrawls of the same url
+    arriving within the watermark horizon are dropped; state for older
+    urls is evicted by the watermark, so memory never grows with the
+    crawl (``dropDuplicatesWithinWatermark`` — the streaming sibling of
+    the batch exact-dedup family in operators/dedup.py)."""
+    return pages_stream.withWatermark("warc_ts", within).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
+
+
+def run_stream_with_cache_merge(spark: SparkSession, landing_dir: str,
+                                out_dir: str, cache_path: str) -> None:
+    """Streaming extraction with the write-back memoization loop closed:
+    each micro-batch joins the current identifier cache in as the
+    method-#1 fast path, appends its results, and merges new hits back
+    into the cache — so a url recrawled in a LATER batch resolves from
+    the cache without regex work (the streaming form of the reference's
+    metadata write-back, finders.py:587-608). foreachBatch + checkpoint
+    give per-batch atomicity and restart-safe progress."""
+    import os
+
+    from pdf2doi_spark.sources.io import merge_cache
+
+    stream = read_pages_stream(spark, landing_dir)
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        cache_df = (
+            spark.read.parquet(cache_path) if os.path.exists(cache_path) else None
+        )
+        res = extract_identifiers(
+            batch_df.select("url", "html", "text"), cache=cache_df
+        ).cache()
+        res.write.mode("append").parquet(f"{out_dir}/results")
+        merge_cache(spark, cache_path, res)
+        res.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{out_dir}/checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -60,3 +60,73 @@ def test_meta_total_on_text(s):
     assert isinstance(pairs, list)
     keys = [k for k, _ in pairs]
     assert len(keys) == len(set(keys))  # first-occurrence dedupe holds
+
+
+def test_stream_cache_merge_resolves_recrawl(spark, tmp_path):
+    """A url extracted in batch 1 lands in the cache; when the SAME url is
+    recrawled in a later batch with its identifier gone from the page, the
+    cache fast path still resolves it as method #1."""
+    from pdf2doi_spark.streaming.incremental import run_stream_with_cache_merge
+
+    landing = tmp_path / "landing"; landing.mkdir()
+    out = str(tmp_path / "out")
+    cache = str(tmp_path / "cache")
+
+    import datetime as dt
+
+    def page(url, body, ts=dt.datetime(2024, 1, 1)):
+        return (url, ts, body.encode(), None, None)
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    first = spark.createDataFrame(
+        [page("https://x.org/a",
+              "<html><body><p>See doi: 10.1063/1.2409490 here, text long enough.</p></body></html>")],
+        schema,
+    )
+    first.write.mode("append").parquet(str(landing))
+    run_stream_with_cache_merge(spark, str(landing), out, cache)
+
+    recrawl = spark.createDataFrame(
+        [page("https://x.org/a",
+              "<html><body><p>Identifier removed on recrawl, nothing to find now.</p></body></html>",
+              dt.datetime(2024, 1, 2))],
+        schema,
+    )
+    recrawl.write.mode("append").parquet(str(landing))
+    run_stream_with_cache_merge(spark, str(landing), out, cache)
+
+    res = spark.read.parquet(f"{out}/results").orderBy("tier").collect()
+    assert len(res) == 2
+    assert all(r["identifier"] == "10.1063/1.2409490" for r in res)
+    # the recrawl row resolved from the cache (tier -1, method #1)
+    assert res[0]["tier"] == -1 and res[0]["method"] == "document_infos"
+
+
+def test_dedup_stream_drops_recrawl_within_watermark(spark, tmp_path):
+    import datetime as dt
+
+    from pdf2doi_spark.streaming.incremental import dedup_stream, read_pages_stream
+
+    landing = tmp_path / "landing2"; landing.mkdir()
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    spark.createDataFrame(
+        [("https://x.org/a", dt.datetime(2024, 1, 1, 0, 0), b"<p>one</p>", None, None),
+         ("https://x.org/a", dt.datetime(2024, 1, 1, 0, 10), b"<p>two</p>", None, None),
+         ("https://x.org/b", dt.datetime(2024, 1, 1, 0, 5), b"<p>three</p>", None, None)],
+        schema,
+    ).write.mode("append").parquet(str(landing))
+
+    out = str(tmp_path / "dedup_out")
+    q = (
+        dedup_stream(read_pages_stream(spark, str(landing)))
+        .select("url")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", out + "_ckpt")
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    urls = sorted(r["url"] for r in spark.read.parquet(out).collect())
+    assert urls == ["https://x.org/a", "https://x.org/b"]
