@@ -66,6 +66,10 @@ def build_session(master: str | None = None, app_name: str = "pdf2doi_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # zstd ≈ snappy decode speed at ~30-40% smaller parquet — at 100 TB
+        # of results + text columns that is tens of TB of storage and scan
+        # bandwidth saved for a negligible write-side CPU cost.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

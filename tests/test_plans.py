@@ -147,3 +147,18 @@ def test_bucketed_cache_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS pages_bucketed")
         spark.sql("DROP TABLE IF EXISTS cache_bucketed")
+
+
+def test_corpus_pipeline_shuffle_count(spark, sf_dir):
+    """The fused corpus pipeline must stay map -> window shuffle (fp) ->
+    agg shuffle (lang): no operator-to-operator join Exchanges sneak in."""
+    from pdf2doi_spark.queries import build_queries
+
+    plan = _plan(build_queries()["corpus_pipeline"](spark, sf_dir))
+    # exactly: window shuffle (fp) + one agg exchange (partial map-side
+    # combine around it) + ordered-output range exchange — and Spark pushes
+    # a WindowGroupLimit below the window shuffle, pruning duplicate rows
+    # map-side before they ever move
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+    assert "Join" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
