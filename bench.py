@@ -55,8 +55,14 @@ def _sf_tag() -> str:
     return SF_DIR.rstrip("/").rsplit("/", 1)[-1]
 
 
+# Layout version: bump whenever the materialized table's file layout rules
+# change, so a stale artifact from an older bench can never be measured
+# under the new layout's label.
+_LAYOUT = "v2-2000rows"
+
+
 def _pages_path(replicate: int) -> str:
-    return f"/tmp/pdf2doi_bench_pages_{_sf_tag()}_x{replicate}"
+    return f"/tmp/pdf2doi_bench_pages_{_sf_tag()}_x{replicate}_{_LAYOUT}"
 
 
 def _materialize_pages(spark, sf_dir: str, replicate: int) -> tuple:

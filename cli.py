@@ -55,8 +55,6 @@ def main() -> None:
 
     from pdf2doi_spark.session import build_session
     from pdf2doi_spark.operators.extract import extract_identifiers, format_report
-    from pdf2doi_spark.sources.io import read_pages, read_raw_files
-
     spark = build_session(master=args.master, app_name="pdf2doi-cli")
     try:
         if args.set_id is not None:
@@ -86,14 +84,9 @@ def main() -> None:
             print(f"{id_type:<15s} {ident:<40s} {args.target:<10s}")
             return
 
-        if os.path.isdir(args.target) and any(
-            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(args.target)
-        ):
-            pages = read_pages(spark, args.target)
-        elif os.path.isdir(args.target):
-            pages = read_raw_files(spark, args.target, glob=args.glob)
-        else:
-            pages = read_pages(spark, args.target)
+        from pdf2doi_spark.sources.io import resolve_pages_source
+
+        pages = resolve_pages_source(spark, args.target, glob=args.glob)
 
         cache_df = None
         if args.cache and os.path.exists(args.cache):
@@ -102,12 +95,15 @@ def main() -> None:
             pages, replace_arxiv=not args.no_arxiv2doi, with_text=False,
             cache=cache_df,
         )
+        # Collect the report BEFORE merging into the cache: the results
+        # plan reads the cache parquet, so mutating it first would race a
+        # possible recomputation (Spark .cache() is best-effort, never a
+        # correctness barrier).
+        lines = [r["report_line"] for r in format_report(results).collect()]
         if args.cache:
             from pdf2doi_spark.sources.io import merge_cache
 
-            results = results.cache()
             merge_cache(spark, args.cache, results)
-        lines = [r["report_line"] for r in format_report(results).collect()]
         for line in lines:
             print(line)
         if args.save:

@@ -19,9 +19,11 @@ def pdf2doi(target: str, spark=None, cache: str = None,
     per-document identifier results — here as a DataFrame instead of a
     list of dicts (the reference's folder loop IS the table scan).
 
-    ``target`` routing (the reference's directory/file branch, generalized):
+    ``target`` routing (the reference's directory/file branch, generalized
+    — shared with the CLI via ``sources.io.resolve_pages_source``):
+      * a ``.warc``/``.warc.gz`` file, or a directory of WARC archives →
+        WARC ingestion;
       * a directory of parquet files → pages-table scan;
-      * a directory containing ``*.warc``/``*.warc.gz`` → WARC ingestion;
       * any other directory → raw-file (``binaryFile``) ingestion of
         ``*.html``;
       * a parquet file/path → pages-table scan.
@@ -35,22 +37,11 @@ def pdf2doi(target: str, spark=None, cache: str = None,
 
     from pdf2doi_spark.operators.extract import extract_identifiers
     from pdf2doi_spark.session import build_session
-    from pdf2doi_spark.sources.io import read_pages, read_raw_files
+    from pdf2doi_spark.sources.io import resolve_pages_source
 
     if spark is None:
         spark = build_session()
-    if os.path.isdir(target):
-        entries = os.listdir(target)
-        if any(e.endswith(".parquet") or e == "_SUCCESS" for e in entries):
-            pages = read_pages(spark, target)
-        elif any(".warc" in e for e in entries):
-            from pdf2doi_spark.sources.warc import read_warc
-
-            pages = read_warc(spark, target)
-        else:
-            pages = read_raw_files(spark, target)
-    else:
-        pages = read_pages(spark, target)
+    pages = resolve_pages_source(spark, target)
 
     cache_df = None
     if cache is not None and os.path.exists(cache):

@@ -37,20 +37,13 @@ from urllib.parse import unquote, urlsplit
 
 from pdf2doi_spark.core.patterns import (
     ARXIV2007_RE,
+    ARXIV_GATE_RE as _ARXIV_GATE_RE,
     extract_arxivID_from_text,
     extract_doi_from_text,
     doi_regexp,
     arxiv_regexp,
     standardise_doi,
 )
-
-import re as _re
-
-# Necessary condition for ANY arXiv tier to match: tier 0 carries the
-# literal 'arxiv', tiers 1/2 a 4-digit+dot+digit run. Used as a pure fast
-# path (same predicate as the Spark-side batch prefilter in
-# operators/extract.py).
-_ARXIV_GATE_RE = _re.compile(r"(?i)\d{4}\.\d|arxiv")
 
 # Metadata keys that are checked first when scanning document info / meta
 # tags (reference main.py:156 — '/doi', '/pdf2doi_identifier'; web analogue
@@ -208,6 +201,7 @@ def extract_one(
     text_units: Optional[Sequence[str]],
     cached_identifier: Optional[str] = None,
     replace_arxiv: bool = True,
+    cached_identifier_type: Optional[str] = None,
 ) -> dict:
     """Full cascade for one document (reference ``main.py:146-189``).
 
@@ -226,7 +220,10 @@ def extract_one(
     if cached_identifier:
         return {
             "identifier": cached_identifier,
-            "identifier_type": "DOI",
+            # the cache table stores the type alongside the identifier
+            # (e.g. a manually tagged arXiv ID, cli.py -id); DOI is only
+            # the fallback for caches that predate the type column
+            "identifier_type": cached_identifier_type or "DOI",
             "method": "document_infos",
             "tier": -1,
         }

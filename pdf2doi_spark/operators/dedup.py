@@ -279,6 +279,11 @@ def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFram
     large-star/small-star (alternating, same DataFrame shapes). Each round
     is one broadcast-free join + min-agg; ``localCheckpoint`` truncates the
     lineage so the plan does not grow with iterations.
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iterations`` — silently returning split components would make a
+    dedup pass KEEP duplicates with no signal; long-chain graphs should
+    raise the budget (or switch to large-star/small-star).
     """
     sym = (
         edges.select(F.col("a").cast("long").alias("src"),
@@ -319,4 +324,10 @@ def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFram
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            f"iterations (component diameter exceeds the budget); raise "
+            f"max_iterations"
+        )
     return labels.select("node", F.col("label").alias("component")).orderBy("node")

@@ -50,15 +50,19 @@ RESULT_SCHEMA = (
 # the tier-1 arXiv case that a naive '10.|arxiv' filter misses.)
 import re as _re
 
+from pdf2doi_spark.core.patterns import ARXIV_GATE_PATTERN, ARXIV_GATE_RE
+
 # Stage 1: literal '10.' (C-speed memmem scan) — necessary for every DOI tier.
 # Stage 2 (only on rows stage 1 left unmarked): the arXiv shapes.
 # Byte variants run on the RAW html payload so non-candidate rows are never
 # even UTF-8-decoded (decode + meta scan is the kernel's dominant per-row
-# cost; real crawls are miss-heavy).
+# cost; real crawls are miss-heavy). The gate pattern has ONE definition
+# (core/patterns.py) shared with the kernel's stage gates, so prefilter and
+# kernel can never drift apart.
 _DOI_MARK = "10."
-_ARXIV_RE = _re.compile(r"(?i)\d{4}\.\d|arxiv")
+_ARXIV_RE = ARXIV_GATE_RE
 _DOI_MARK_B = b"10."
-_ARXIV_RE_B = _re.compile(rb"(?i)\d{4}\.\d|arxiv")
+_ARXIV_RE_B = _re.compile(ARXIV_GATE_PATTERN.encode("ascii"))
 
 
 def _batch_extract(batch: pd.DataFrame, replace_arxiv: bool,
@@ -68,6 +72,10 @@ def _batch_extract(batch: pd.DataFrame, replace_arxiv: bool,
     html = batch["html"]
     text = batch["text"]
     cached = batch["cached_identifier"] if "cached_identifier" in batch.columns else None
+    cached_type = (
+        batch["cached_identifier_type"]
+        if "cached_identifier_type" in batch.columns else None
+    )
 
     # ---- vectorized prefilter (JVM rows -> skip regex work wholesale) ----
     # Candidate rows are decided WITHOUT decoding html: literal '10.' scans
@@ -130,6 +138,7 @@ def _batch_extract(batch: pd.DataFrame, replace_arxiv: bool,
     text_list = text.tolist()
     cand_list = candidate.tolist()
     cached_list = cached.tolist() if cached is not None else [None] * n
+    cached_type_list = cached_type.tolist() if cached_type is not None else [None] * n
 
     for i in range(n):
         h = html_list[i]
@@ -156,6 +165,7 @@ def _batch_extract(batch: pd.DataFrame, replace_arxiv: bool,
             units(),
             cached_identifier=cached_list[i],
             replace_arxiv=replace_arxiv,
+            cached_identifier_type=cached_type_list[i],
         )
         out["identifier"][i] = res["identifier"]
         out["identifier_type"][i] = res["identifier_type"]
@@ -200,10 +210,12 @@ def extract_identifiers(pages: DataFrame, replace_arxiv: bool = True,
     cols = ["url", "html", "text"]
     df = pages.select(*cols)
     if cache is not None:
-        cache_small = cache.select(
-            F.col("url"), F.col("identifier").alias("cached_identifier")
-        )
-        df = df.join(F.broadcast(cache_small), on="url", how="left")
+        cache_cols = [F.col("url"), F.col("identifier").alias("cached_identifier")]
+        if "identifier_type" in cache.columns:
+            cache_cols.append(
+                F.col("identifier_type").alias("cached_identifier_type")
+            )
+        df = df.join(F.broadcast(cache.select(*cache_cols)), on="url", how="left")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

@@ -117,10 +117,13 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
     metadata filter (``kind = 'image'`` and non-null dims) is native, so the
     scan prunes non-image rows before any payload bytes move to Python.
     """
+    # degenerate dims (0 or negative — corrupt-but-typed metadata) are
+    # excluded natively: one bad row must never fail a task, and a
+    # zero-area resize has no defined output anyway
     cols = media.filter(
         (F.col("kind") == "image")
-        & F.col("width").isNotNull()
-        & F.col("height").isNotNull()
+        & (F.col("width") > 0)
+        & (F.col("height") > 0)
     ).select("media_id", "payload", "width", "height")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -186,3 +186,32 @@ def write_bucketed(df: DataFrame, table: str, n_buckets: int = 256,
         .mode("overwrite")
         .saveAsTable(table)
     )
+
+
+def resolve_pages_source(spark: SparkSession, target: str,
+                         glob: str = "*.html") -> DataFrame:
+    """Single router from a user-facing target to a pages-shaped DataFrame
+    (shared by the library entry and the CLI so their behavior can never
+    drift):
+
+    * a ``.warc`` / ``.warc.gz`` FILE (the normal Common Crawl unit) or a
+      directory containing WARC archives → ``read_warc``;
+    * a directory of parquet files → pages-table scan;
+    * any other directory → raw-file (``binaryFile``) ingestion of ``glob``;
+    * anything else → pages-table scan (parquet path).
+    """
+    low = target.rstrip("/").lower()
+    if low.endswith(".warc") or low.endswith(".warc.gz"):
+        from pdf2doi_spark.sources.warc import read_warc
+
+        return read_warc(spark, target)
+    if os.path.isdir(target):
+        entries = os.listdir(target)
+        if any(e.endswith(".parquet") or e == "_SUCCESS" for e in entries):
+            return read_pages(spark, target)
+        if any(".warc" in e for e in entries):
+            from pdf2doi_spark.sources.warc import read_warc
+
+            return read_warc(spark, target)
+        return read_raw_files(spark, target, glob=glob)
+    return read_pages(spark, target)

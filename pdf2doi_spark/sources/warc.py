@@ -92,8 +92,12 @@ def iter_warc_records(payload: bytes) -> Iterator[Tuple[str, object, bytes]]:
             try:
                 length = int(headers.get("content-length", ""))
             except ValueError:
-                offset = head_end + len(_CRLF2)
-                continue
+                # Framing is unrecoverable without Content-Length: scanning
+                # onward for the next 'WARC/' would re-parse this record's
+                # BODY, letting page content that happens to embed WARC
+                # header text fabricate records with attacker-controlled
+                # provenance. Drop the rest of this chunk instead.
+                break
             body_start = head_end + len(_CRLF2)
             record = chunk[body_start : body_start + length]
             offset = body_start + length

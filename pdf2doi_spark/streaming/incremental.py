@@ -90,24 +90,42 @@ def run_stream_with_cache_merge(spark: SparkSession, landing_dir: str,
     method-#1 fast path, appends its results, and merges new hits back
     into the cache — so a url recrawled in a LATER batch resolves from
     the cache without regex work (the streaming form of the reference's
-    metadata write-back, finders.py:587-608). foreachBatch + checkpoint
-    give per-batch atomicity and restart-safe progress."""
+    metadata write-back, finders.py:587-608).
+
+    Idempotence under foreachBatch's at-least-once contract: results are
+    written partitioned by ``_batch`` with DYNAMIC partition overwrite, so
+    a batch retried after a crash overwrites its own partition instead of
+    appending duplicates; the cache merge then consumes the batch's
+    WRITTEN partition (not the live plan), so a recomputation can never
+    race the cache overwrite."""
     import os
+
+    from pyspark.sql import functions as F
 
     from pdf2doi_spark.sources.io import merge_cache
 
     stream = read_pages_stream(spark, landing_dir)
 
-    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
         cache_df = (
             spark.read.parquet(cache_path) if os.path.exists(cache_path) else None
         )
         res = extract_identifiers(
             batch_df.select("url", "html", "text"), cache=cache_df
-        ).cache()
-        res.write.mode("append").parquet(f"{out_dir}/results")
-        merge_cache(spark, cache_path, res)
-        res.unpersist()
+        )
+        (
+            res.withColumn("_batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(f"{out_dir}/results")
+        )
+        written = (
+            spark.read.parquet(f"{out_dir}/results")
+            .filter(F.col("_batch") == int(batch_id))
+            .drop("_batch")
+        )
+        merge_cache(spark, cache_path, written)
 
     q = (
         stream.writeStream.foreachBatch(sink)

@@ -152,3 +152,22 @@ def test_metrics_and_report(spark, sf_dir):
     assert all(line[15] == " " or len(line) >= 56 for line in lines)
     # n.a. placeholders present for misses
     assert any(line.startswith("n.a.") for line in lines)
+
+
+def test_cache_preserves_identifier_type(spark):
+    """A cached arXiv ID (e.g. manually tagged via cli -id) must resolve
+    with its stored type, not be mislabeled as a DOI."""
+    from pdf2doi_spark.operators.extract import extract_identifiers
+
+    pages = spark.createDataFrame(
+        [("u1", b"<p>nothing to find here at all</p>", None, None, None)],
+        "url string, html binary, text string, lang string, warc_ts timestamp",
+    ).select("url", "warc_ts", "html", "text", "lang")
+    cache = spark.createDataFrame(
+        [("u1", "2301.01234", "arxiv ID", "manual")],
+        "url string, identifier string, identifier_type string, method string",
+    )
+    row = extract_identifiers(pages, cache=cache).collect()[0]
+    assert row["identifier"] == "2301.01234"
+    assert row["identifier_type"] == "arxiv ID"
+    assert row["method"] == "document_infos" and row["tier"] == -1
