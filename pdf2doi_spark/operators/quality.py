@@ -150,3 +150,41 @@ def ascii_scrub(df: DataFrame, text_col: str = "text", n_chars: int = 1000) -> D
     return df.select(
         F.col("doc_id"), F.substring(folded, 1, n_chars).alias("scrubbed_text")
     )
+
+
+def hash_sample(df: DataFrame, pct: float = 20.0,
+                key_col: str = "doc_id") -> DataFrame:
+    """Deterministic hash-based sampling: keep a row iff
+    ``md5(key) mod 100 < pct``.
+
+    THE reproducible sampling primitive for corpus curation at scale —
+    unlike seeded Bernoulli ``sample()``, membership is a pure function of
+    the key: stable across runs, engines, partitionings and cluster sizes,
+    so a 20% subset drawn today equals the one drawn in next month's rerun
+    and a downstream join against the sample is consistent by
+    construction. md5 keeps it bit-identical across Spark/DuckDB/Python
+    (same contract as ``fingerprint``). Narrow map, no shuffle."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return df.filter(bucket < F.lit(pct))
+
+
+def stratified_hash_sample(df: DataFrame, fractions: dict,
+                           stratum_col: str = "lang",
+                           key_col: str = "doc_id") -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample English, keep
+    all low-resource languages): ``fractions`` maps stratum value → keep
+    percentage; unlisted strata are dropped. Same hash-membership contract
+    as ``hash_sample``; still a narrow map."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    pct = None
+    for stratum, p in fractions.items():
+        cond = F.col(stratum_col) == stratum
+        pct = F.when(cond, F.lit(float(p))) if pct is None else pct.when(cond, F.lit(float(p)))
+    pct = pct.otherwise(F.lit(0.0))
+    return df.filter(bucket < pct)

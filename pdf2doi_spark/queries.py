@@ -749,6 +749,32 @@ def _q_minhash_near_dups():
     return q, sql
 
 
+def _q_hash_sample():
+    """Deterministic stratified hash sampling — membership is a pure
+    function of the key, so the sample is identical across engines, runs,
+    and cluster sizes (the reproducibility contract seeded Bernoulli
+    sampling cannot give)."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.quality import stratified_hash_sample
+
+        d = _docs(spark, sf_dir).select("doc_id", "lang")
+        return (
+            stratified_hash_sample(
+                d, {"en": 25.0, "fr": 60.0, "zh": 100.0}
+            )
+            .orderBy("doc_id")
+        )
+
+    sql = """
+        SELECT doc_id, lang FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
+              < CASE lang WHEN 'en' THEN 25.0 WHEN 'fr' THEN 60.0
+                          WHEN 'zh' THEN 100.0 ELSE 0.0 END
+        ORDER BY doc_id
+    """
+    return q, sql
+
+
 def _q_corpus_pipeline():
     """End-to-end training-corpus pipeline in ONE fused plan: quality
     features (narrow map) → quality gate → exact dedup (first doc per
@@ -1413,6 +1439,7 @@ _BUILDERS = {
     "minhash_near_dups": _q_minhash_near_dups,
     "dup_components": _q_dup_components,
     "corpus_pipeline": _q_corpus_pipeline,
+    "hash_sample": _q_hash_sample,
     "simhash": _q_simhash,
     "cosine_topk": _q_cosine_topk,
     "ann_lsh_topk": _q_ann_lsh_topk,
