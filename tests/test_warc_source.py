@@ -56,3 +56,43 @@ def test_read_warc_extracts_identifiers(spark, tmp_path):
     assert out.loc["https://example.org/b"]["identifier"] is None
     assert out.loc["https://example.org/c"]["identifier"] == "10.1038/s41586-019-1666-5"
     assert out.loc["https://example.org/c"]["method"] == "document_text"
+
+
+# ----------------------------------------------------------- property-based
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=4096))
+def test_warc_parser_total_on_arbitrary_bytes(payload):
+    """The parser must never raise, whatever bytes arrive."""
+    for uri, ts, body in iter_warc_records(payload):
+        assert isinstance(uri, str) and isinstance(body, bytes)
+
+
+_uri = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126,
+                           exclude_characters="\\"),
+    min_size=1, max_size=40,
+).map(lambda s: f"https://h.org/{s}")
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            _uri,
+            st.just("2024-06-01T00:00:00Z"),
+            st.binary(max_size=300).filter(lambda b: b"WARC/" not in b),
+        ),
+        min_size=0, max_size=6,
+    ),
+    st.sampled_from(["none", "file", "member"]),
+)
+def test_warc_roundtrip_property(records, compression):
+    """build -> parse is the identity on (uri, body) for every compression
+    layout, for arbitrary binary bodies (that don't embed WARC framing)."""
+    payload = build_warc_bytes(records, compression=compression)
+    got = [(u, b) for u, _t, b in iter_warc_records(payload)]
+    assert got == [(u, b) for u, _t, b in records]
