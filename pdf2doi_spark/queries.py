@@ -786,16 +786,24 @@ def _q_corpus_pipeline():
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql.window import Window
 
-        from pdf2doi_spark.operators.quality import EN_MARKERS, PUNCT_CLASS, tokens
+        from pdf2doi_spark.operators.quality import EN_MARKERS, PUNCT_CLASS
 
+        # The score feeds a FILTER, and higher-order-function expressions
+        # inside a Filter evaluate ~60x slower than in a projection on this
+        # build (see dedup.has_min_words) — so every component here is a
+        # codegen-able scalar form: token count = size(split) on the
+        # space-collapsed text, stopword hits = regexp_count with word
+        # boundaries (provably equal to counting matching tokens).
         t = F.col("text")
-        toks = tokens(F.lower(t))
-        n_tok = F.size(toks)
+        norm = F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
+        n_tok = F.when(F.length(norm) == 0, F.lit(0)).otherwise(
+            F.size(F.split(norm, " "))
+        )
         n_chars = F.length(t)
         punct = n_chars - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
+        stop_re = "(?:^| )(?:" + "|".join(EN_MARKERS) + ")(?= |$)"
         stop_ratio = F.when(
-            n_tok > 0,
-            F.size(F.filter(toks, lambda x: x.isin(*EN_MARKERS))) / n_tok,
+            n_tok > 0, F.regexp_count(norm, F.lit(stop_re)) / n_tok
         ).otherwise(F.lit(0.0))
         mean_wl = F.when(
             n_tok > 0,
