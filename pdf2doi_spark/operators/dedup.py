@@ -174,6 +174,10 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
             ).alias("jaccard"),
         )
     )
+    # NOTE: this threshold predicate inlines the HOF set math into a
+    # Filter (the slow evaluation path — see has_min_words); acceptable
+    # here because it runs on the POST-LSH candidate set, which is orders
+    # of magnitude smaller than the input.
     return out.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
