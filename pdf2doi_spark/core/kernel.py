@@ -226,6 +226,7 @@ def extract_one(
             "identifier_type": cached_identifier_type or "DOI",
             "method": "document_infos",
             "tier": -1,
+            "validation_info": "True",
         }
 
     identifier, desc, tier = find_identifier_in_metadata(meta)
@@ -253,4 +254,10 @@ def extract_one(
         "identifier_type": desc,
         "method": method,
         "tier": tier,
+        # Reference result-record field (finders.py:688-692): offline,
+        # validation is the syntactic check every returned identifier has
+        # already passed, so the reference stores the literal True
+        # (finders.py:111-113 offline branch) — normalized here to the
+        # string 'True' / NULL per SURVEY §1.2.
+        "validation_info": "True" if identifier else None,
     }

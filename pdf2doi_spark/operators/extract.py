@@ -1,5 +1,5 @@
 """The extraction pipeline: pages → (url, identifier, identifier_type, method,
-tier, extracted_text).
+tier, validation_info, extracted_text).
 
 Physical design (SURVEY.md §3/§4):
 
@@ -38,7 +38,7 @@ from pdf2doi_spark.core.webmeta import extract_main_content, extract_meta, page_
 
 RESULT_SCHEMA = (
     "url string, identifier string, identifier_type string, "
-    "method string, tier int, extracted_text string"
+    "method string, tier int, validation_info string, extracted_text string"
 )
 
 # Candidate prefilter: a NECESSARY condition for any kernel hit, proved
@@ -131,6 +131,7 @@ def _batch_extract(batch: pd.DataFrame, replace_arxiv: bool,
         "identifier_type": [None] * n,
         "method": [None] * n,
         "tier": [None] * n,
+        "validation_info": [None] * n,
         "extracted_text": [None] * n,
     }
 
@@ -171,6 +172,7 @@ def _batch_extract(batch: pd.DataFrame, replace_arxiv: bool,
         out["identifier_type"][i] = res["identifier_type"]
         out["method"][i] = res["method"]
         out["tier"][i] = res["tier"]
+        out["validation_info"][i] = res["validation_info"]
 
     return pd.DataFrame(out)
 

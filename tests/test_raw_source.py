@@ -52,7 +52,8 @@ def test_library_entry_routes_all_targets(spark, tmp_path):
     for target in (str(raw_dir), str(warc_dir), str(pq_dir)):
         out = pdf2doi_spark.pdf2doi(target, spark=spark)
         assert out.columns == ["url", "identifier", "identifier_type",
-                               "method", "tier", "extracted_text"]
+                               "method", "tier", "validation_info",
+                               "extracted_text"]
         row = out.collect()[0]
         assert row["identifier"] == "10.1063/1.2409490"
         assert row["method"] == "document_infos"
