@@ -102,10 +102,57 @@ def ann_lsh_topk(df: DataFrame, query: Sequence[float], k: int = 10,
     return cosine_topk(candidates, query, k, id_col, vec_col)
 
 
+def _codebook_rows(df: DataFrame, vec_col: str, label_col: str):
+    cents = pairwise_label_centroids(df, vec_col, label_col)
+    return [(r[label_col], [float(x) for x in r["centroid"]]) for r in cents.collect()]
+
+
+def _cell_assignment_col(vec_col: str, rows) -> Column:
+    codebook = F.array(*[
+        F.struct(
+            F.lit(int(lab)).alias("cell"),
+            F.array(*[F.lit(v) for v in c]).alias("c"),
+        )
+        for lab, c in rows
+    ])
+    cell_scores = F.transform(
+        codebook,
+        lambda s: F.struct(
+            F.round(
+                _dot(F.col(vec_col), s["c"])
+                / (_norm(F.col(vec_col)) * _norm(s["c"])),
+                6,
+            ).alias("ccos"),
+            s["cell"].alias("cell"),
+        ),
+    )
+    return F.array_max(cell_scores)["cell"]
+
+
+def assign_ivf_cells(df: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     label_col: str = "label") -> DataFrame:
+    """Materialization step of the IVF index: nearest-centroid cell per
+    vector, as a plain projection (the FAST evaluation path — see
+    dedup.has_min_words for the measured Filter-vs-Project gap).
+
+    This is the column a real deployment WRITES ONCE, partitioned/bucketed
+    by ``cell``, so every later search is a partition-pruned scan of the
+    probed cells with no per-row assignment at query time. Pass the result
+    to ``ann_ivf_topk(..., assigned=...)``.
+    """
+    rows = _codebook_rows(df, vec_col, label_col)
+    return df.select(
+        F.col(id_col), F.col(vec_col),
+        _cell_assignment_col(vec_col, rows).alias("cell"),
+    )
+
+
 def ann_ivf_topk(df: DataFrame, query: Sequence[float], k: int = 10,
                  nprobe: int = 3, id_col: str = "vec_id",
                  vec_col: str = "embedding",
-                 label_col: str = "label") -> DataFrame:
+                 label_col: str = "label",
+                 assigned: DataFrame = None) -> DataFrame:
     """IVF-style ANN: coarse-quantize every vector to its nearest centroid
     cell, then exact-cosine search only the ``nprobe`` cells nearest the
     query.
@@ -128,9 +175,14 @@ def ann_ivf_topk(df: DataFrame, query: Sequence[float], k: int = 10,
     cosines are rounded to 6 dp before any argmax/rank so tie-breaks
     (higher label wins assignment; lower label wins probe order) are
     engine-independent.
+
+    ``assigned``: pass ``assign_ivf_cells(df)`` (ideally read back from a
+    cell-partitioned table) to skip in-query assignment — the ad-hoc form
+    inlines the codebook argmax into the probe filter, which evaluates on
+    the slow fallback-predicate path (acceptable for one-off queries,
+    wrong for a serving index).
     """
-    cents = pairwise_label_centroids(df, vec_col, label_col)
-    rows = [(r[label_col], [float(x) for x in r["centroid"]]) for r in cents.collect()]
+    rows = _codebook_rows(df, vec_col, label_col)
 
     def _py_cos(c):
         num = 0.0
@@ -148,29 +200,11 @@ def ann_ivf_topk(df: DataFrame, query: Sequence[float], k: int = 10,
         rows, key=lambda lc: (-_py_cos(lc[1]), lc[0])
     )[:nprobe]]
 
-    q = F.array(*[F.lit(float(x)) for x in query])
-    codebook = F.array(*[
-        F.struct(
-            F.lit(int(lab)).alias("cell"),
-            F.array(*[F.lit(v) for v in c]).alias("c"),
+    if assigned is None:
+        assigned = df.select(
+            F.col(id_col), F.col(vec_col),
+            _cell_assignment_col(vec_col, rows).alias("cell"),
         )
-        for lab, c in rows
-    ])
-    cell_scores = F.transform(
-        codebook,
-        lambda s: F.struct(
-            F.round(
-                _dot(F.col(vec_col), s["c"])
-                / (_norm(F.col(vec_col)) * _norm(s["c"])),
-                6,
-            ).alias("ccos"),
-            s["cell"].alias("cell"),
-        ),
-    )
-    assigned = df.select(
-        F.col(id_col), F.col(vec_col),
-        F.array_max(cell_scores)["cell"].alias("cell"),
-    )
     candidates = assigned.filter(F.col("cell").isin(*[int(p) for p in probe]))
     return cosine_topk(candidates, query, k, id_col, vec_col)
 

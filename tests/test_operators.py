@@ -435,3 +435,30 @@ def test_connected_components_matches_union_find(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_ann_ivf_precomputed_cells_path(spark, sf_dir, tmp_path):
+    """assign_ivf_cells -> write partitioned by cell -> search over the
+    stored index: identical results to the ad-hoc form, and the probe
+    filter prunes partitions at the scan."""
+    from pdf2doi_spark.operators.similarity import ann_ivf_topk, assign_ivf_cells
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    idx_path = str(tmp_path / "ivf_index")
+    assign_ivf_cells(e).write.partitionBy("cell").parquet(idx_path)
+    stored = spark.read.parquet(idx_path)
+
+    adhoc = [(r.vec_id, r.cosine) for r in ann_ivf_topk(e, qvec, k=10, nprobe=3).collect()]
+    indexed = [(r.vec_id, r.cosine)
+               for r in ann_ivf_topk(e, qvec, k=10, nprobe=3, assigned=stored).collect()]
+    assert indexed == adhoc
+
+    import re
+    probe_df = ann_ivf_topk(e, qvec, k=10, nprobe=3, assigned=stored)
+    plan = probe_df._sc._jvm.PythonSQLUtils.explainString(
+        probe_df._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
