@@ -59,7 +59,8 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert set(df.columns) == {
-        "url", "identifier", "identifier_type", "method", "tier", "extracted_text"
+        "url", "identifier", "identifier_type", "method", "tier",
+        "validation_info", "extracted_text"
     }
 
 
