@@ -152,6 +152,17 @@ def ascii_scrub(df: DataFrame, text_col: str = "text", n_chars: int = 1000) -> D
     )
 
 
+def _hash_bucket(key_col: str) -> Column:
+    """The shared cross-engine sampling bucket: first 8 md5 hex chars of
+    the key, as an integer mod 100. ONE definition — both samplers and any
+    future membership check must use it or their subsets silently
+    diverge."""
+    return (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+
+
 def hash_sample(df: DataFrame, pct: float = 20.0,
                 key_col: str = "doc_id") -> DataFrame:
     """Deterministic hash-based sampling: keep a row iff
@@ -164,11 +175,7 @@ def hash_sample(df: DataFrame, pct: float = 20.0,
     and a downstream join against the sample is consistent by
     construction. md5 keeps it bit-identical across Spark/DuckDB/Python
     (same contract as ``fingerprint``). Narrow map, no shuffle."""
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
-    )
-    return df.filter(bucket < F.lit(pct))
+    return df.filter(_hash_bucket(key_col) < F.lit(pct))
 
 
 def stratified_hash_sample(df: DataFrame, fractions: dict,
@@ -178,13 +185,11 @@ def stratified_hash_sample(df: DataFrame, fractions: dict,
     all low-resource languages): ``fractions`` maps stratum value → keep
     percentage; unlisted strata are dropped. Same hash-membership contract
     as ``hash_sample``; still a narrow map."""
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
-    )
+    if not fractions:
+        return df.filter(F.lit(False))  # unlisted strata are dropped
     pct = None
     for stratum, p in fractions.items():
         cond = F.col(stratum_col) == stratum
         pct = F.when(cond, F.lit(float(p))) if pct is None else pct.when(cond, F.lit(float(p)))
     pct = pct.otherwise(F.lit(0.0))
-    return df.filter(bucket < pct)
+    return df.filter(_hash_bucket(key_col) < pct)

@@ -131,28 +131,57 @@ def _cell_assignment_col(vec_col: str, rows) -> Column:
 
 def assign_ivf_cells(df: DataFrame, id_col: str = "vec_id",
                      vec_col: str = "embedding",
-                     label_col: str = "label") -> DataFrame:
+                     label_col: str = "label") -> tuple:
     """Materialization step of the IVF index: nearest-centroid cell per
     vector, as a plain projection (the FAST evaluation path — see
     dedup.has_min_words for the measured Filter-vs-Project gap).
 
-    This is the column a real deployment WRITES ONCE, partitioned/bucketed
-    by ``cell``, so every later search is a partition-pruned scan of the
-    probed cells with no per-row assignment at query time. Pass the result
-    to ``ann_ivf_topk(..., assigned=...)``.
+    Returns ``(assigned_df, codebook_rows)`` — the cells a real deployment
+    WRITES ONCE, partitioned/bucketed by ``cell``, plus the codebook that
+    MUST be persisted next to them: searches over a stored index have to
+    pick probe cells against the codebook the cells were built with, never
+    a recomputed one (the vector table may have grown since, which would
+    silently desync probes from the stored assignment).
     """
     rows = _codebook_rows(df, vec_col, label_col)
-    return df.select(
+    assigned = df.select(
         F.col(id_col), F.col(vec_col),
         _cell_assignment_col(vec_col, rows).alias("cell"),
     )
+    return assigned, rows
+
+
+def build_ivf_index(df: DataFrame, path: str, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    label_col: str = "label") -> None:
+    """Write the complete IVF index: ``{path}/cells`` partitioned by cell
+    (partition-pruned probes) and ``{path}/codebook`` (the centroids the
+    cells were assigned against)."""
+    assigned, rows = assign_ivf_cells(df, id_col, vec_col, label_col)
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/cells")
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(int(lab), c) for lab, c in rows], "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+
+
+def load_ivf_index(spark, path: str) -> tuple:
+    """Read back ``(assigned_df, codebook_rows)`` written by
+    ``build_ivf_index`` — pass both to ``ann_ivf_topk``."""
+    assigned = spark.read.parquet(f"{path}/cells")
+    rows = [
+        (r["cell"], [float(x) for x in r["centroid"]])
+        for r in spark.read.parquet(f"{path}/codebook").collect()
+    ]
+    return assigned, rows
 
 
 def ann_ivf_topk(df: DataFrame, query: Sequence[float], k: int = 10,
                  nprobe: int = 3, id_col: str = "vec_id",
                  vec_col: str = "embedding",
                  label_col: str = "label",
-                 assigned: DataFrame = None) -> DataFrame:
+                 assigned: DataFrame = None,
+                 codebook=None) -> DataFrame:
     """IVF-style ANN: coarse-quantize every vector to its nearest centroid
     cell, then exact-cosine search only the ``nprobe`` cells nearest the
     query.
@@ -176,13 +205,22 @@ def ann_ivf_topk(df: DataFrame, query: Sequence[float], k: int = 10,
     (higher label wins assignment; lower label wins probe order) are
     engine-independent.
 
-    ``assigned``: pass ``assign_ivf_cells(df)`` (ideally read back from a
-    cell-partitioned table) to skip in-query assignment — the ad-hoc form
-    inlines the codebook argmax into the probe filter, which evaluates on
-    the slow fallback-predicate path (acceptable for one-off queries,
-    wrong for a serving index).
+    ``assigned`` + ``codebook``: pass both from ``load_ivf_index`` to
+    search a stored index — probe cells are then chosen against the SAME
+    codebook the cells were written with (no O(N) recomputation per query,
+    no desync if the vector table grew since the index build), and the
+    probe filter on the plain stored ``cell`` column partition-prunes at
+    the scan. The ad-hoc form (no ``assigned``) computes both inline —
+    fine for one-off queries, wrong for a serving index.
     """
-    rows = _codebook_rows(df, vec_col, label_col)
+    if assigned is not None and codebook is None:
+        raise ValueError(
+            "searching a stored IVF index requires the codebook it was "
+            "built with (load_ivf_index returns both); recomputing "
+            "centroids from the live table would silently desync probe "
+            "selection from the stored cell assignment"
+        )
+    rows = codebook if codebook is not None else _codebook_rows(df, vec_col, label_col)
 
     def _py_cos(c):
         num = 0.0

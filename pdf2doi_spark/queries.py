@@ -815,7 +815,7 @@ def _q_corpus_pipeline():
             + F.when(stop_ratio > 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
             + F.when(punct_ratio < 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
         )
-        fp = F.md5(F.regexp_replace(F.lower(F.trim(t)), r"\s+", " "))
+        fp = F.md5(norm)
 
         scored = _docs(spark, sf_dir).select(
             "doc_id", "lang",

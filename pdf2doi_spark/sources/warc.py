@@ -91,6 +91,11 @@ def iter_warc_records(payload: bytes) -> Iterator[Tuple[str, object, bytes]]:
             headers = _parse_headers(chunk[start:head_end])
             try:
                 length = int(headers.get("content-length", ""))
+                if length < 0:
+                    # negative length would step the scan offset BACKWARD
+                    # (bytes.find clamps negative starts to 0), re-finding
+                    # this same record forever
+                    raise ValueError("negative Content-Length")
             except ValueError:
                 # Framing is unrecoverable without Content-Length: scanning
                 # onward for the next 'WARC/' would re-parse this record's

@@ -441,24 +441,41 @@ def test_ann_ivf_precomputed_cells_path(spark, sf_dir, tmp_path):
     """assign_ivf_cells -> write partitioned by cell -> search over the
     stored index: identical results to the ad-hoc form, and the probe
     filter prunes partitions at the scan."""
-    from pdf2doi_spark.operators.similarity import ann_ivf_topk, assign_ivf_cells
+    import pytest as _pytest
+
+    from pdf2doi_spark.operators.similarity import (
+        ann_ivf_topk, build_ivf_index, load_ivf_index,
+    )
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
 
     idx_path = str(tmp_path / "ivf_index")
-    assign_ivf_cells(e).write.partitionBy("cell").parquet(idx_path)
-    stored = spark.read.parquet(idx_path)
+    build_ivf_index(e, idx_path)
+    stored, codebook = load_ivf_index(spark, idx_path)
 
     adhoc = [(r.vec_id, r.cosine) for r in ann_ivf_topk(e, qvec, k=10, nprobe=3).collect()]
     indexed = [(r.vec_id, r.cosine)
-               for r in ann_ivf_topk(e, qvec, k=10, nprobe=3, assigned=stored).collect()]
+               for r in ann_ivf_topk(e, qvec, k=10, nprobe=3, assigned=stored,
+                                     codebook=codebook).collect()]
     assert indexed == adhoc
 
+    # a stored index without its codebook must refuse (silent desync trap)
+    with _pytest.raises(ValueError):
+        ann_ivf_topk(e, qvec, k=10, nprobe=3, assigned=stored)
+
     import re
-    probe_df = ann_ivf_topk(e, qvec, k=10, nprobe=3, assigned=stored)
+    probe_df = ann_ivf_topk(e, qvec, k=10, nprobe=3, assigned=stored,
+                            codebook=codebook)
     plan = probe_df._sc._jvm.PythonSQLUtils.explainString(
         probe_df._jdf.queryExecution(), "formatted"
     )
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cell" in m.group(1), plan
+
+
+def test_stratified_hash_sample_empty_fractions(spark, sf_dir):
+    from pdf2doi_spark.operators.quality import stratified_hash_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert stratified_hash_sample(d, {}).count() == 0

@@ -96,3 +96,11 @@ def test_warc_roundtrip_property(records, compression):
     payload = build_warc_bytes(records, compression=compression)
     got = [(u, b) for u, _t, b in iter_warc_records(payload)]
     assert got == [(u, b) for u, _t, b in records]
+
+
+def test_negative_content_length_terminates():
+    """A corrupt record with negative Content-Length must not loop the
+    parser forever (bytes.find clamps negative offsets to 0)."""
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: x\r\n"
+           b"Content-Length: -100000\r\n\r\nbody")
+    assert list(iter_warc_records(bad)) == []
