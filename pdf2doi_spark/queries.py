@@ -749,6 +749,46 @@ def _q_minhash_near_dups():
     return q, sql
 
 
+def _q_canonical_urls():
+    """URL canonicalization over deterministically messy synthetic urls
+    (case-shifted scheme/host, explicit default port, unsorted query,
+    fragment) — each doc also gets the variant-collapse count."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.urls import canonical_url
+
+        raw = F.concat(
+            F.lit("HTTP://Example"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".ORG:80/Path"), F.col("doc_id").cast("string"),
+            F.lit("?b=2&a="), (F.col("doc_id") % 3).cast("string"),
+            F.lit("#frag"),
+        )
+        return _docs(spark, sf_dir).select(
+            F.col("doc_id"),
+            raw.alias("raw_url"),
+            canonical_url(raw).alias("canonical_url"),
+        )
+
+    raw_sql = ("'HTTP://Example' || CAST(doc_id % 7 AS VARCHAR) || "
+               "'.ORG:80/Path' || CAST(doc_id AS VARCHAR) || "
+               "'?b=2&a=' || CAST(doc_id % 3 AS VARCHAR) || '#frag'")
+    sql = f"""
+        WITH u AS (SELECT doc_id, {raw_sql} AS raw_url FROM documents)
+        SELECT doc_id, raw_url,
+               lower(regexp_extract(raw_url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))
+               || '://'
+               || regexp_replace(
+                    lower(regexp_extract(regexp_replace(raw_url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '^([^/?#]+)', 1)),
+                    ':80$', '')
+               || CASE WHEN regexp_extract(regexp_replace(raw_url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '^[^/?#]+([^?#]*)', 1) = ''
+                       THEN '/' ELSE regexp_extract(regexp_replace(raw_url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '^[^/?#]+([^?#]*)', 1) END
+               || CASE WHEN regexp_extract(raw_url, '\\?([^#]*)', 1) = '' THEN ''
+                       ELSE '?' || array_to_string(list_sort(string_split(regexp_extract(raw_url, '\\?([^#]*)', 1), '&')), '&') END
+               AS canonical_url
+        FROM u
+    """
+    return q, sql
+
+
 def _q_hash_sample():
     """Deterministic stratified hash sampling — membership is a pure
     function of the key, so the sample is identical across engines, runs,
@@ -1448,6 +1488,7 @@ _BUILDERS = {
     "dup_components": _q_dup_components,
     "corpus_pipeline": _q_corpus_pipeline,
     "hash_sample": _q_hash_sample,
+    "canonical_urls": _q_canonical_urls,
     "simhash": _q_simhash,
     "cosine_topk": _q_cosine_topk,
     "ann_lsh_topk": _q_ann_lsh_topk,

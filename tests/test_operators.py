@@ -479,3 +479,21 @@ def test_stratified_hash_sample_empty_fractions(spark, sf_dir):
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert stratified_hash_sample(d, {}).count() == 0
+
+
+def test_canonical_url_cases(spark):
+    from pdf2doi_spark.operators.urls import canonicalize_urls
+
+    cases = [
+        ("HTTP://WWW.Example.ORG:80/Path/X?b=2&a=1#frag",
+         "http://www.example.org/Path/X?a=1&b=2"),
+        ("https://Host.Net:443", "https://host.net/"),
+        ("https://host.net:8443/x", "https://host.net:8443/x"),
+        ("http://h.org/p?", "http://h.org/p"),
+        ("relative/path only", "relative/path only"),
+        ("ftp://H.org/X", "ftp://h.org/X"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = canonicalize_urls(df).toPandas().set_index("url")["canonical_url"]
+    for raw, want in cases:
+        assert got[raw] == want, (raw, got[raw], want)
