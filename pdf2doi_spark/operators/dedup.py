@@ -349,3 +349,38 @@ def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFram
             f"max_iterations"
         )
     return labels.select("node", F.col("label").alias("component")).orderBy("node")
+
+
+def sketch_overlap_pairs(df: DataFrame, text_col: str = "text",
+                         min_shared: int = 4) -> DataFrame:
+    """Containment-candidate pairs via winnowing-sketch posting lists.
+
+    The third candidate-generation shape in the dedup family (after exact
+    fingerprints and MinHash LSH bands): explode each doc's min-k sketch
+    into (hash, doc) postings, self-join on the hash (the inverted-index
+    join), count shared sketch elements per pair. Catches CONTAINMENT
+    (quote/boilerplate inclusion) that band-hash equality misses, because
+    a superset document keeps most of the subset's minimal hashes.
+
+    Scale profile: the shuffle key is the 32-byte sketch hash; postings
+    per hash are bounded by corpus near-duplication, and the pair-count
+    aggregation is map-side combinable. The shared-count filter is a plain
+    integer predicate (fast path).
+    """
+    from pdf2doi_spark.operators.quality import winnowing_sketch
+
+    posts = (
+        winnowing_sketch(df, text_col)
+        .select("doc_id", F.explode("sketch").alias("h"))
+    )
+    a, b = posts.alias("a"), posts.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -910,6 +910,41 @@ def _q_corpus_pipeline():
     return q, sql
 
 
+def _q_sketch_overlap():
+    """Sketch-posting-list candidate pairs on the doubled dup input: every
+    doc shares its full sketch with its twin, so expected pairs are
+    closed-form; unrelated docs share elements only on text collision."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.dedup import sketch_overlap_pairs
+
+        return sketch_overlap_pairs(_dup_input(spark, sf_dir), min_shared=4)
+
+    sql = r"""
+        WITH inp AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000000 AS doc_id, text FROM documents
+        ), words AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+          FROM inp
+        ), sk AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) >= 3
+                      THEN list_sort(list_distinct([md5(array_to_string(w[i:i+2], ' ')) for i in range(1, len(w) - 1)]))[1:8]
+                      ELSE [] END AS sketch
+          FROM words
+        ), posts AS (
+          SELECT doc_id, unnest(sketch) AS h FROM sk
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM posts a JOIN posts b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 4
+        ORDER BY doc_a, doc_b
+    """
+    return q, sql
+
+
 def _q_dup_components():
     """Connected components over a deterministic near-dup candidate graph
     (chain edges doc→doc+1 where doc%5<2, long-range edges doc→doc+7 where
@@ -1486,6 +1521,7 @@ _BUILDERS = {
     "minhash_bands": _q_minhash_bands,
     "minhash_near_dups": _q_minhash_near_dups,
     "dup_components": _q_dup_components,
+    "sketch_overlap": _q_sketch_overlap,
     "corpus_pipeline": _q_corpus_pipeline,
     "hash_sample": _q_hash_sample,
     "canonical_urls": _q_canonical_urls,

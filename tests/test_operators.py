@@ -497,3 +497,21 @@ def test_canonical_url_cases(spark):
     got = canonicalize_urls(df).toPandas().set_index("url")["canonical_url"]
     for raw, want in cases:
         assert got[raw] == want, (raw, got[raw], want)
+
+
+def test_sketch_overlap_containment(spark):
+    """Sketch posting-list candidates must catch containment (doc embedded
+    in a longer doc), which band-equality LSH misses."""
+    from pdf2doi_spark.operators.dedup import sketch_overlap_pairs
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    superset = base + " phi chi psi omega extra words appended at the end here"
+    other = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [(1, base), (2, superset), (3, other)], "doc_id long, text string"
+    )
+    out = sketch_overlap_pairs(df, min_shared=4).toPandas()
+    pairs = set(map(tuple, out[["doc_a", "doc_b"]].values))
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
