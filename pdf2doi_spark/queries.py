@@ -910,6 +910,45 @@ def _q_corpus_pipeline():
     return q, sql
 
 
+def _q_near_dup_clusters():
+    """The dedup loop closed end-to-end: MinHash-LSH candidates → exact
+    Jaccard verify (threshold 0.99) → connected components → one cluster id
+    per duplicated doc. On the doubled input the verified pairs are the
+    fingerprint-collision graph, so the oracle is a recursive CTE over that
+    closed-form edge set."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.dedup import (
+            connected_components, minhash_near_duplicates,
+        )
+
+        pairs = minhash_near_duplicates(_dup_input(spark, sf_dir), threshold=0.99)
+        return connected_components(
+            pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        )
+
+    sql = rf"""
+        WITH RECURSIVE inp AS ({_DUP_INPUT_SQL}),
+        fp AS (
+          SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f,
+                 len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS nw
+          FROM inp
+        ),
+        edges AS (
+          SELECT a.doc_id AS a, b.doc_id AS b
+          FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+          WHERE a.nw >= 3
+        ),
+        sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+        reach(node, r) AS (
+          SELECT DISTINCT a AS node, a AS r FROM sym
+          UNION
+          SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node
+        )
+        SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node
+    """
+    return q, sql
+
+
 def _q_sketch_overlap():
     """Sketch-posting-list candidate pairs on the doubled dup input: every
     doc shares its full sketch with its twin, so expected pairs are
@@ -1522,6 +1561,7 @@ _BUILDERS = {
     "minhash_near_dups": _q_minhash_near_dups,
     "dup_components": _q_dup_components,
     "sketch_overlap": _q_sketch_overlap,
+    "near_dup_clusters": _q_near_dup_clusters,
     "corpus_pipeline": _q_corpus_pipeline,
     "hash_sample": _q_hash_sample,
     "canonical_urls": _q_canonical_urls,
