@@ -65,12 +65,45 @@ MIN_BLOCK_CHARS = 20
 MAX_LINK_DENSITY = 0.33
 
 
+# Charset sniff: the <meta charset=..> / http-equiv content-type forms, in
+# the ASCII-compatible head bytes (all charsets the web uses in practice
+# are ASCII supersets, so the declaration itself is readable before the
+# charset is known — the standard sniffing trick).
+_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+?(?:charset\s*=\s*["']?([A-Za-z0-9_\-]+)["']?)""",
+    re.I,
+)
+_SNIFF_BYTES = 2048
+
+
+def sniff_charset(raw: bytes) -> Optional[str]:
+    """Declared charset from the document head, or None."""
+    m = _CHARSET_RE.search(raw[:_SNIFF_BYTES])
+    if not m:
+        return None
+    name = m.group(1).decode("ascii", errors="replace").strip().lower()
+    return name or None
+
+
 def _decode(html) -> str:
+    """Bytes → text: BOM first, then the declared charset, then UTF-8 with
+    replacement. A wrong or unknown declaration can never raise — decoding
+    falls through to the lossy UTF-8 path (one bad row must never fail a
+    task)."""
     if html is None:
         return ""
-    if isinstance(html, (bytes, bytearray)):
-        return bytes(html).decode("utf-8", errors="replace")
-    return html
+    if not isinstance(html, (bytes, bytearray)):
+        return html
+    raw = bytes(html)
+    if raw[:3] == b"\xef\xbb\xbf":
+        return raw[3:].decode("utf-8", errors="replace")
+    cs = sniff_charset(raw)
+    if cs and cs not in ("utf-8", "utf8"):
+        try:
+            return raw.decode(cs, errors="replace")
+        except LookupError:
+            pass  # unknown codec name: fall through
+    return raw.decode("utf-8", errors="replace")
 
 
 def _unescape_basic(s: str) -> str:

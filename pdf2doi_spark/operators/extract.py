@@ -110,12 +110,12 @@ def _batch_extract(batch: pd.DataFrame, replace_arxiv: bool,
         counters.n_docs.add(n)
         counters.n_candidates.add(int(candidate.fillna(False).sum()))
 
+    # charset-aware decode (BOM → declared charset → lossy UTF-8), same
+    # function as the byte-parity oracle: pdf2doi_spark.core.webmeta._decode
+    from pdf2doi_spark.core.webmeta import _decode as _decode_html
+
     def _decode(b) -> str:
-        return (
-            bytes(b).decode("utf-8", errors="replace")
-            if isinstance(b, (bytes, bytearray))
-            else (b or "")
-        )
+        return _decode_html(b) if b is not None else ""
 
     if with_text:
         html_str = html.map(_decode)  # extracted_text needed for every row

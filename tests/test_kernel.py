@@ -305,3 +305,32 @@ def test_page_text_units_order():
     units = page_text_units(HTML, "pre-extracted text column value here")
     assert units[0] == "pre-extracted text column value here"
     assert "main body paragraph" in units[1]
+
+
+def test_charset_sniffing_decode():
+    """Declared-charset pages decode correctly instead of to mojibake;
+    wrong/unknown declarations and BOMs never raise."""
+    from pdf2doi_spark.core.webmeta import _decode, extract_main_content, sniff_charset
+
+    latin = ('<html><head><meta charset="iso-8859-1"></head><body>'
+             '<p>Un résumé détaillé, assez long pour être conservé.</p>'
+             '</body></html>').encode("iso-8859-1")
+    assert sniff_charset(latin) == "iso-8859-1"
+    assert "résumé détaillé" in _decode(latin)
+    assert "résumé détaillé" in extract_main_content(latin)
+
+    httpequiv = (b'<html><head><meta http-equiv="Content-Type" '
+                 b'content="text/html; charset=windows-1252"></head>'
+                 b'<body><p>Smart \x93quotes\x94 in cp1252 body text here.</p>'
+                 b'</body></html>')
+    assert sniff_charset(httpequiv) == "windows-1252"
+    assert "“quotes”" in _decode(httpequiv)
+
+    bom = "﻿".encode("utf-8") + "<p>bom page with enough text here</p>".encode()
+    assert _decode(bom).startswith("<p>bom")
+
+    junk_decl = b'<meta charset="no-such-codec"><p>body</p>'
+    assert "body" in _decode(junk_decl)  # unknown codec falls through
+
+    utf8 = '<meta charset="utf-8"><p>plain utf-8 café</p>'.encode()
+    assert "café" in _decode(utf8)
