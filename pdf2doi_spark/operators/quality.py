@@ -9,6 +9,8 @@ dedup operators in ``dedup.py``.
 """
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 # Fixed marker-word banks for the ratio-based language heuristic: the
@@ -193,3 +195,78 @@ def stratified_hash_sample(df: DataFrame, fractions: dict,
         pct = F.when(cond, F.lit(float(p))) if pct is None else pct.when(cond, F.lit(float(p)))
     pct = pct.otherwise(F.lit(0.0))
     return df.filter(_hash_bucket(key_col) < pct)
+
+
+def compression_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """zlib compression ratio per document — the classic gibberish/
+    boilerplate detector from published curation pipelines: highly
+    repetitive text compresses far below natural prose, random noise
+    barely compresses at all.
+
+    zlib is C-speed but not expressible in SQL, so this is the quality
+    family's one Arrow-batched pandas UDF (vectorized over the batch, one
+    JVM↔Python crossing per batch; engine-specific → rows-only driver
+    check, pinned by a tolerance pytest instead).
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if not t:
+                return 0.0
+            raw = t.encode("utf-8", errors="replace")
+            return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+        return texts.map(one)
+
+    return df.select(F.col("doc_id"), _ratio(F.col(text_col)).alias("compression_ratio"))
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals (Gopher-style), all native:
+
+    * ``dup_line_frac``   — 1 − distinct/total over newline-split lines;
+    * ``top_word_frac``   — share of tokens taken by the most frequent
+      token (boilerplate pages repeat one token heavily);
+    * ``dup_word_frac``   — 1 − distinct/total over tokens.
+
+    Narrow map, exact SQL oracle.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    toks = tokens(F.lower(F.col(text_col)))
+    n_tok = F.size(toks)
+    # most-frequent-token share via sort + aggregate over run lengths is
+    # HOF-heavy; the clean relational form is explode+groupBy, but per-doc
+    # that shuffles. aggregate() over the sorted array stays in-row:
+    sorted_toks = F.array_sort(toks)
+    top_run = F.aggregate(
+        sorted_toks,
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return df.select(
+        F.col("doc_id"),
+        F.round(
+            F.when(n_lines > 0, 1 - F.size(F.array_distinct(lines)) / n_lines)
+            .otherwise(F.lit(0.0)), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(n_tok > 0, top_run / n_tok).otherwise(F.lit(0.0)), 6
+        ).alias("top_word_frac"),
+        F.round(
+            F.when(n_tok > 0, 1 - F.size(F.array_distinct(toks)) / n_tok)
+            .otherwise(F.lit(0.0)), 6
+        ).alias("dup_word_frac"),
+    )

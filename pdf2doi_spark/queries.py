@@ -815,6 +815,73 @@ def _q_hash_sample():
     return q, sql
 
 
+def _q_repetition_signals():
+    """Gopher-style repetition quality signals over synthesized multi-line
+    docs (every third doc repeats its own head line — known duplicate-line
+    fraction)."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.quality import repetition_signals
+
+        seg = F.substring(F.col("text"), 1, 60)
+        inp = F.concat(
+            F.col("text"), F.lit("\n"),
+            F.when(F.col("doc_id") % 3 == 0, seg).otherwise(
+                F.concat(F.lit("tail "), F.col("doc_id").cast("string"))
+            ),
+            F.lit("\n"), seg,
+        )
+        d = _docs(spark, sf_dir).select("doc_id", inp.alias("text"))
+        return repetition_signals(d)
+
+    sql = r"""
+        WITH inp AS (
+          SELECT doc_id,
+                 text || chr(10) ||
+                 CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 60)
+                      ELSE 'tail ' || CAST(doc_id AS VARCHAR) END ||
+                 chr(10) || substr(text, 1, 60) AS t
+          FROM documents
+        ), feats AS (
+          SELECT doc_id, t,
+                 string_split(t, chr(10)) AS lines,
+                 CASE WHEN length(trim(t)) = 0 THEN []
+                      ELSE regexp_split_to_array(lower(trim(t)), '\s+') END AS toks
+          FROM inp
+        ), w AS (
+          SELECT doc_id, unnest(toks) AS tok FROM feats
+        ), topw AS (
+          SELECT doc_id, max(cnt) AS top FROM (
+            SELECT doc_id, tok, count(*) AS cnt FROM w GROUP BY 1, 2
+          ) GROUP BY 1
+        )
+        SELECT f.doc_id,
+               round(CASE WHEN len(lines) > 0
+                          THEN 1 - len(list_distinct(lines)) * 1.0 / len(lines)
+                          ELSE 0.0 END, 6) AS dup_line_frac,
+               round(CASE WHEN len(toks) > 0
+                          THEN coalesce(topw.top, 0) * 1.0 / len(toks)
+                          ELSE 0.0 END, 6) AS top_word_frac,
+               round(CASE WHEN len(toks) > 0
+                          THEN 1 - len(list_distinct(toks)) * 1.0 / len(toks)
+                          ELSE 0.0 END, 6) AS dup_word_frac
+        FROM feats f LEFT JOIN topw ON f.doc_id = topw.doc_id
+        ORDER BY f.doc_id
+    """
+    return q, sql
+
+
+def _q_compression_ratio():
+    """zlib compression ratio (engine-specific bytes → rows-only check;
+    tests/test_operators.py::test_compression_ratio_discriminates pins the
+    discrimination property)."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.quality import compression_ratio
+
+        return compression_ratio(_docs(spark, sf_dir))
+
+    return q, None
+
+
 def _q_corpus_pipeline():
     """End-to-end training-corpus pipeline in ONE fused plan: quality
     features (narrow map) → quality gate → exact dedup (first doc per
@@ -1565,6 +1632,8 @@ _BUILDERS = {
     "corpus_pipeline": _q_corpus_pipeline,
     "hash_sample": _q_hash_sample,
     "canonical_urls": _q_canonical_urls,
+    "repetition_signals": _q_repetition_signals,
+    "compression_ratio": _q_compression_ratio,
     "simhash": _q_simhash,
     "cosine_topk": _q_cosine_topk,
     "ann_lsh_topk": _q_ann_lsh_topk,

@@ -515,3 +515,24 @@ def test_sketch_overlap_containment(spark):
     pairs = set(map(tuple, out[["doc_a", "doc_b"]].values))
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_compression_ratio_discriminates(spark):
+    """Repetitive text compresses far below prose; near-random text barely
+    compresses — the discrimination property the operator exists for."""
+    import hashlib
+
+    from pdf2doi_spark.operators.quality import compression_ratio
+
+    repetitive = "the same phrase over and over " * 40
+    prose = ("Identifier extraction over web crawls requires regex tiers, "
+             "validation, and careful normalization of many edge cases. ") * 5
+    noise = " ".join(
+        hashlib.md5(str(i).encode()).hexdigest() for i in range(60)
+    )
+    df = spark.createDataFrame(
+        [(1, repetitive), (2, prose), (3, noise)], "doc_id long, text string"
+    )
+    r = compression_ratio(df).toPandas().set_index("doc_id")["compression_ratio"]
+    assert r[1] < r[2] < r[3]
+    assert r[1] < 0.1 and r[3] > 0.5
