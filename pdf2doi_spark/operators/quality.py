@@ -270,3 +270,24 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
             .otherwise(F.lit(0.0)), 6
         ).alias("dup_word_frac"),
     )
+
+
+# Redaction patterns: Java regex (Spark) and its POSIX-compatible DuckDB
+# mirror must stay equivalent — pinned by the driver oracle on synthetic
+# PII-bearing text.
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+IP_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PHONE_RE = r"\+?\d[\d\-\s]{7,}\d"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pre-training PII scrub: emails, IPv4 addresses, and phone-like digit
+    runs replaced with stable placeholder tokens (order matters — emails
+    first so their digits are never half-eaten by the phone pass). Pure
+    ``regexp_replace`` chain: whole-stage codegen, narrow map, exact SQL
+    oracle."""
+    t = F.col(text_col)
+    t = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    t = F.regexp_replace(t, IP_RE, "<IP>")
+    t = F.regexp_replace(t, PHONE_RE, "<PHONE>")
+    return df.select(F.col("doc_id"), t.alias("redacted_text"))

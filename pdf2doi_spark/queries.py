@@ -870,6 +870,45 @@ def _q_repetition_signals():
     return q, sql
 
 
+def _q_redact_pii():
+    """PII scrub over synthetic PII-bearing text (deterministic emails,
+    IPs, phone numbers appended per doc) — exact oracle pins the Java↔
+    POSIX regex equivalence."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.quality import redact_pii
+
+        inp = F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.org or 192.168."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".1 or call +1 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" 999 now."),
+        )
+        d = _docs(spark, sf_dir).select("doc_id", inp.alias("text"))
+        return redact_pii(d)
+
+    sql = r"""
+        WITH inp AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.org or 192.168.'
+                      || CAST(doc_id % 256 AS VARCHAR) || '.1 or call +1 555-01'
+                      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                      || ' 999 now.' AS t
+          FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                 '\+?\d[\d\-\s]{7,}\d', '<PHONE>', 'g') AS redacted_text
+        FROM inp
+    """
+    return q, sql
+
+
 def _q_compression_ratio():
     """zlib compression ratio (engine-specific bytes → rows-only check;
     tests/test_operators.py::test_compression_ratio_discriminates pins the
@@ -1634,6 +1673,7 @@ _BUILDERS = {
     "canonical_urls": _q_canonical_urls,
     "repetition_signals": _q_repetition_signals,
     "compression_ratio": _q_compression_ratio,
+    "redact_pii": _q_redact_pii,
     "simhash": _q_simhash,
     "cosine_topk": _q_cosine_topk,
     "ann_lsh_topk": _q_ann_lsh_topk,

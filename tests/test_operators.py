@@ -536,3 +536,21 @@ def test_compression_ratio_discriminates(spark):
     r = compression_ratio(df).toPandas().set_index("doc_id")["compression_ratio"]
     assert r[1] < r[2] < r[3]
     assert r[1] < 0.1 and r[3] > 0.5
+
+
+def test_redact_pii_cases(spark):
+    from pdf2doi_spark.operators.quality import redact_pii
+
+    cases = [
+        (1, "mail me at a.b-c+x@sub.example.co.uk please",
+            "mail me at <EMAIL> please"),
+        (2, "server at 10.0.255.7 went down", "server at <IP> went down"),
+        (3, "call +49 30 1234 5678 today", "call <PHONE> today"),
+        (4, "no pii in this sentence at all", "no pii in this sentence at all"),
+        (5, "both x@y.org and 1.2.3.4 and 555-123-4567 here",
+            "both <EMAIL> and <IP> and <PHONE> here"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases], "doc_id long, text string")
+    got = redact_pii(df).toPandas().set_index("doc_id")["redacted_text"]
+    for i, _t, want in cases:
+        assert got[i] == want, (i, got[i], want)
