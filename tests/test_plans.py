@@ -162,3 +162,35 @@ def test_corpus_pipeline_shuffle_count(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
     assert "Join" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_salted_repartition_flattens_zipf_skew(spark, sf_dir):
+    """Crawl layouts cluster by host and hosts are Zipf-skewed; hashing the
+    hot key directly leaves one partition holding the head domain, while
+    the salted (per-url) repartition must land within 2x of perfectly
+    even."""
+    from pdf2doi_spark.operators.extract import domain_of, repartition_salted
+    from pdf2doi_spark.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir).select(
+        "url", domain_of(F.col("url")).alias("domain")
+    ).cache()
+    n_parts = 16
+
+    by_domain = pages.repartition(n_parts, F.col("domain"))
+    sizes_domain = [
+        r["cnt"] for r in by_domain.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("cnt")).collect()
+    ]
+    salted = repartition_salted(pages, n_parts)
+    sizes_salted = [
+        r["cnt"] for r in salted.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("cnt")).collect()
+    ]
+    pages.unpersist()
+
+    total = sum(sizes_salted)
+    even = total / n_parts
+    assert max(sizes_salted) < 2 * even, sizes_salted
+    # the domain-keyed layout is demonstrably worse than the salted one
+    assert max(sizes_domain) > 1.5 * max(sizes_salted), (sizes_domain, sizes_salted)
