@@ -65,44 +65,78 @@ MIN_BLOCK_CHARS = 20
 MAX_LINK_DENSITY = 0.33
 
 
-# Charset sniff: the <meta charset=..> / http-equiv content-type forms, in
-# the ASCII-compatible head bytes (all charsets the web uses in practice
-# are ASCII supersets, so the declaration itself is readable before the
-# charset is known — the standard sniffing trick).
-_CHARSET_RE = re.compile(
-    rb"""<meta[^>]+?(?:charset\s*=\s*["']?([A-Za-z0-9_\-]+)["']?)""",
-    re.I,
+# Charset sniff over the ASCII-compatible head bytes (every practical web
+# charset is an ASCII superset, so the declaration is readable before the
+# charset is known). Parsed PER META TAG with a real attribute scanner —
+# a bare 'charset=' regex would be hijacked by unrelated text inside a
+# content="... charset=utf-16 ..." description value.
+_META_TAG_RE = re.compile(rb"<meta\s[^>]*>", re.I)
+_ATTR_RE = re.compile(
+    rb"""([A-Za-z][A-Za-z0-9-]*)\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)""",
 )
+_CONTENT_CHARSET_RE = re.compile(rb"charset\s*=\s*([A-Za-z0-9_\-]+)", re.I)
 _SNIFF_BYTES = 2048
 
 
+def _unquote_attr(v: bytes) -> bytes:
+    if len(v) >= 2 and v[:1] in (b'"', b"'") and v[-1:] == v[:1]:
+        return v[1:-1]
+    return v
+
+
 def sniff_charset(raw: bytes) -> Optional[str]:
-    """Declared charset from the document head, or None."""
-    m = _CHARSET_RE.search(raw[:_SNIFF_BYTES])
-    if not m:
-        return None
-    name = m.group(1).decode("ascii", errors="replace").strip().lower()
-    return name or None
+    """Declared charset from the document head, or None. Honors the two
+    HTML forms: ``<meta charset=X>`` and ``<meta http-equiv=Content-Type
+    content="...; charset=X">`` — and only those (a ``charset=`` substring
+    inside some other attribute value never counts)."""
+    for tag in _META_TAG_RE.finditer(raw[:_SNIFF_BYTES]):
+        attrs = {
+            k.lower(): _unquote_attr(v)
+            for k, v in _ATTR_RE.findall(tag.group(0))
+        }
+        value = attrs.get(b"charset")
+        if value is None and attrs.get(b"http-equiv", b"").lower() == b"content-type":
+            m = _CONTENT_CHARSET_RE.search(attrs.get(b"content", b""))
+            if m:
+                value = m.group(1)
+        if value:
+            name = value.decode("ascii", errors="replace").strip().strip("\"'").lower()
+            if name:
+                return name
+    return None
+
+
+_BOMS = (
+    (b"\xef\xbb\xbf", "utf-8"),
+    (b"\xff\xfe\x00\x00", "utf-32-le"),
+    (b"\x00\x00\xfe\xff", "utf-32-be"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+)
 
 
 def _decode(html) -> str:
-    """Bytes → text: BOM first, then the declared charset, then UTF-8 with
-    replacement. A wrong or unknown declaration can never raise — decoding
-    falls through to the lossy UTF-8 path (one bad row must never fail a
-    task)."""
+    """Bytes → text: BOM first (authoritative; UTF-16/32 pages are
+    NUL-interleaved so the meta sniff could never see them), then the
+    declared charset, then UTF-8 with replacement. A wrong, unknown, or
+    non-text codec declaration can never raise — decoding falls through to
+    the lossy UTF-8 path (one bad row must never fail a task)."""
     if html is None:
         return ""
     if not isinstance(html, (bytes, bytearray)):
         return html
     raw = bytes(html)
-    if raw[:3] == b"\xef\xbb\xbf":
-        return raw[3:].decode("utf-8", errors="replace")
+    for bom, codec in _BOMS:
+        if raw.startswith(bom):
+            return raw[len(bom):].decode(codec, errors="replace")
     cs = sniff_charset(raw)
     if cs and cs not in ("utf-8", "utf8"):
         try:
             return raw.decode(cs, errors="replace")
-        except LookupError:
-            pass  # unknown codec name: fall through
+        except (LookupError, ValueError):
+            # LookupError: unknown codec name; ValueError/UnicodeError:
+            # non-text codecs (idna, undefined) that reject errors='replace'
+            pass
     return raw.decode("utf-8", errors="replace")
 
 

@@ -277,7 +277,12 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
 # PII-bearing text.
 EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
 IP_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
-PHONE_RE = r"\+?\d[\d\-\s]{7,}\d"
+# 7-14 digits with at most one space/hyphen between digit groups — \s is
+# deliberately NOT used (it matches newlines, which would collapse whole
+# numeric table columns into one <PHONE>), and the digit count is bounded
+# so arbitrary digit runs don't chain. Year pairs like "1914 1918" still
+# over-redact — the standard precision/recall trade of shape-based scrubs.
+PHONE_RE = r"\+?\d(?:[\- ]?\d){6,13}"
 
 
 def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -29,22 +29,30 @@ _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 
 def canonical_url(col: Column) -> Column:
     scheme = F.lower(F.regexp_extract(col, _SCHEME_RE, 1))
-    rest = F.regexp_replace(col, _SCHEME_RE, "")
-    hostport = F.lower(F.regexp_extract(rest, r"^([^/?#]+)", 1))
+    # strip the fragment FIRST: everything after '#' (including any '?' the
+    # fragment contains — SPA routes like /#/search?q=x must not fabricate
+    # a query string the server never saw)
+    rest = F.regexp_extract(F.regexp_replace(col, _SCHEME_RE, ""), r"^([^#]*)", 1)
+    # userinfo is case-SENSITIVE per RFC 3986 — preserve it verbatim;
+    # only scheme and host are case-insensitive
+    userinfo = F.regexp_extract(rest, r"^([^/?#@]*@)", 1)
+    hostport = F.lower(
+        F.regexp_extract(rest, r"^(?:[^/?#@]*@)?([^/?#]+)", 1)
+    )
     host = (
         F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
         .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
         .otherwise(hostport)
     )
-    path = F.regexp_extract(rest, r"^[^/?#]+([^?#]*)", 1)
+    path = F.regexp_extract(rest, r"^(?:[^/?#@]*@)?[^/?#]+([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(col, r"\?([^#]*)", 1)
+    query = F.regexp_extract(rest, r"\?(.*)", 1)
     sorted_query = F.array_join(F.array_sort(F.split(query, "&")), "&")
     return F.when(
         scheme == "", col  # not an absolute http(s)-style url: pass through
     ).otherwise(
         F.concat(
-            scheme, F.lit("://"), host, path,
+            scheme, F.lit("://"), userinfo, host, path,
             F.when(query != "", F.concat(F.lit("?"), sorted_query)).otherwise(
                 F.lit("")
             ),

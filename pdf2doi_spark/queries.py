@@ -903,7 +903,7 @@ def _q_redact_pii():
                  regexp_replace(
                    regexp_replace(t, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
-                 '\+?\d[\d\-\s]{7,}\d', '<PHONE>', 'g') AS redacted_text
+                 '\+?\d(?:[\- ]?\d){6,13}', '<PHONE>', 'g') AS redacted_text
         FROM inp
     """
     return q, sql

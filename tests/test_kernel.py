@@ -334,3 +334,19 @@ def test_charset_sniffing_decode():
 
     utf8 = '<meta charset="utf-8"><p>plain utf-8 café</p>'.encode()
     assert "café" in _decode(utf8)
+
+
+def test_charset_sniff_not_hijacked_and_boms():
+    from pdf2doi_spark.core.webmeta import _decode, sniff_charset
+
+    # charset= inside an unrelated content value must NOT count
+    desc = (b'<meta name="description" content="how to set charset=utf-16">'
+            b'<meta charset="utf-8"><p>real utf-8 body</p>')
+    assert sniff_charset(desc) == "utf-8"
+    # non-text codec declarations can never raise
+    for bad in (b'<meta charset="idna"><p>x</p>',
+                b'<meta charset="undefined"><p>x</p>'):
+        assert "x" in _decode(bad)
+    # UTF-16 BOM is authoritative (meta sniff can't see NUL-interleaved text)
+    u16 = "﻿<p>utf sixteen body text here</p>".encode("utf-16-le")
+    assert "<p>utf sixteen body text here</p>" in _decode(u16)
