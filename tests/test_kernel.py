@@ -350,3 +350,74 @@ def test_charset_sniff_not_hijacked_and_boms():
     # UTF-16 BOM is authoritative (meta sniff can't see NUL-interleaved text)
     u16 = "﻿<p>utf sixteen body text here</p>".encode("utf-16-le")
     assert "<p>utf sixteen body text here</p>" in _decode(u16)
+
+
+# ----------------------------------------------------- cascade properties
+
+from hypothesis import given, settings, strategies as st
+
+_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+    max_size=200,
+)
+_doiish = st.builds(
+    lambda reg, suf: f"10.{reg}/{suf}",
+    st.integers(10, 999999999), st.text("abcdefgh0123456789.", min_size=1, max_size=12),
+)
+_unit = st.one_of(_text, _doiish, st.builds(lambda d, t: f"{t} doi: {d} {t}", _doiish, _text))
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.one_of(st.none(), _text.map(lambda s: f"https://h.org/{s}")),
+    st.lists(st.tuples(st.text(max_size=12), _unit), max_size=4),
+    st.lists(_unit, max_size=3),
+    st.booleans(),
+)
+def test_extract_one_invariants(url, meta, units, replace_arxiv):
+    """Total-function + well-formedness invariants of the cascade:
+    never raises; method/type/tier are consistent with the identifier;
+    every DOI output is already standardised (idempotent); arXiv outputs
+    only appear as synthetic DOIs when replacement is on; stage
+    attribution is one of the three offline stages."""
+    from pdf2doi_spark.core.kernel import extract_one
+    from pdf2doi_spark.core.patterns import ARXIV2007_RE, standardise_doi
+
+    res = extract_one(url, meta, list(units), replace_arxiv=replace_arxiv)
+    ident, typ, method = res["identifier"], res["identifier_type"], res["method"]
+    if ident is None:
+        assert typ is None and method is None and res["validation_info"] is None
+        return
+    assert method in ("document_infos", "filename", "document_text",
+                      "document_text + arxiv2doi", "document_infos + arxiv2doi",
+                      "filename + arxiv2doi")
+    assert res["validation_info"] == "True"
+    if typ == "DOI":
+        assert standardise_doi(ident) == ident  # standardisation idempotent
+    elif typ == "arxiv ID":
+        assert not replace_arxiv
+        assert ARXIV2007_RE.match(ident)
+    elif typ == "arxiv DOI":
+        assert replace_arxiv and ident.startswith("10.48550/arXiv.")
+        assert method.endswith(" + arxiv2doi")
+    else:
+        raise AssertionError(typ)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_doiish, st.lists(_unit, max_size=3))
+def test_meta_hit_always_wins(doi, units):
+    """Cheap-before-expensive ordering: a validated DOI in metadata must
+    resolve as document_infos no matter what later stages contain."""
+    from pdf2doi_spark.core.kernel import extract_one
+    from pdf2doi_spark.core.patterns import extract_doi_from_text, standardise_doi
+
+    # premise: the tier bank can extract it AND it validates — the tier
+    # bank (4-9 digit registrants) is deliberately narrower than the
+    # standardiser (2-9), faithful to the reference's extract-vs-validate
+    # split
+    if standardise_doi(doi) is None or not extract_doi_from_text(doi, 4):
+        return
+    res = extract_one("https://h.org/x", [("citation_doi", doi)], list(units))
+    assert res["method"] == "document_infos"
+    assert res["identifier"] == standardise_doi(doi)
