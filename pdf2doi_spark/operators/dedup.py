@@ -384,3 +384,51 @@ def sketch_overlap_pairs(df: DataFrame, text_col: str = "text",
         .filter(F.col("shared") >= min_shared)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def global_line_dedup(df: DataFrame, text_col: str = "text",
+                      min_line_chars: int = 20) -> DataFrame:
+    """C4-style global line-level dedup: a line appearing in many documents
+    (cookie banners, "subscribe" boilerplate, legal footers) is kept only
+    in the document where it first occurs and dropped everywhere else.
+
+    Lines shorter than ``min_line_chars`` are always kept — deduping "Yes"
+    or a bare number corpus-wide would mangle unrelated documents.
+
+    Shape: posexplode to (doc, pos, line) → fingerprint long lines →
+    ONE window shuffle on the fingerprint (first occurrence by (doc, pos))
+    → reassemble each document in original line order. Row fan-out is
+    bounded by lines-per-doc; the shuffle key is a 32-byte md5.
+    """
+    from pyspark.sql.window import Window
+
+    lines = df.select(
+        F.col("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    is_long = F.length(F.trim(F.col("line"))) >= min_line_chars
+    # short lines get a per-row unique partition key => their rank is
+    # always 1 and they are never deduped
+    fp = F.when(
+        is_long, F.md5(F.trim(F.lower(F.col("line"))))
+    ).otherwise(F.concat_ws(":", F.col("doc_id"), F.col("pos")))
+    w = Window.partitionBy(fp).orderBy("doc_id", "pos")
+    kept = (
+        lines.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("deduped_text")
+        )
+        .orderBy("doc_id")
+    )

@@ -1016,6 +1016,58 @@ def _q_corpus_pipeline():
     return q, sql
 
 
+def _q_line_dedup():
+    """Global line dedup over synthesized multi-line docs where every doc
+    carries the same boilerplate line: it must survive only in the first
+    document (and every doc keeps its own unique lines)."""
+    BOILER = "subscribe to our newsletter for weekly updates and offers"
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.dedup import global_line_dedup
+
+        inp = F.concat(
+            F.substring(F.col("text"), 1, 80), F.lit("\n"),
+            F.lit(BOILER), F.lit("\n"),
+            F.lit("unique line for document "), F.col("doc_id").cast("string"),
+            F.lit(" with enough characters"),
+        )
+        d = _docs(spark, sf_dir).select("doc_id", inp.alias("text"))
+        return global_line_dedup(d)
+
+    sql = rf"""
+        WITH inp AS (
+          SELECT doc_id,
+                 substr(text, 1, 80) || chr(10) ||
+                 '{BOILER}' || chr(10) ||
+                 'unique line for document ' || CAST(doc_id AS VARCHAR)
+                 || ' with enough characters' AS t
+          FROM documents
+        ), lines AS (
+          SELECT doc_id,
+                 generate_subscripts(string_split(t, chr(10)), 1) - 1 AS pos,
+                 unnest(string_split(t, chr(10))) AS line
+          FROM inp
+        ), keyed AS (
+          SELECT doc_id, pos, line,
+                 CASE WHEN length(trim(line)) >= 20
+                      THEN md5(trim(lower(line)))
+                      ELSE CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)
+                 END AS fp
+          FROM lines
+        ), kept AS (
+          SELECT doc_id, pos, line FROM (
+            SELECT doc_id, pos, line,
+                   row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+            FROM keyed
+          ) WHERE rn = 1
+        )
+        SELECT doc_id,
+               array_to_string(list(line ORDER BY pos), chr(10)) AS deduped_text
+        FROM kept GROUP BY doc_id ORDER BY doc_id
+    """
+    return q, sql
+
+
 def _q_near_dup_clusters():
     """The dedup loop closed end-to-end: MinHash-LSH candidates → exact
     Jaccard verify (threshold 0.99) → connected components → one cluster id
@@ -1668,6 +1720,7 @@ _BUILDERS = {
     "dup_components": _q_dup_components,
     "sketch_overlap": _q_sketch_overlap,
     "near_dup_clusters": _q_near_dup_clusters,
+    "line_dedup": _q_line_dedup,
     "corpus_pipeline": _q_corpus_pipeline,
     "hash_sample": _q_hash_sample,
     "canonical_urls": _q_canonical_urls,

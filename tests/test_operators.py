@@ -583,3 +583,19 @@ def test_redact_pii_spares_numeric_prose(spark):
     # newline-separated numeric columns must NOT collapse into one token
     assert "\n" in got[1] and got[1].count("2021") == 1
     assert "<PHONE>" in got[2]
+
+
+def test_global_line_dedup_boilerplate(spark):
+    from pdf2doi_spark.operators.dedup import global_line_dedup
+
+    boiler = "accept all cookies to continue reading this site"
+    df = spark.createDataFrame(
+        [(1, f"first doc opening line long enough\n{boiler}\nshort\nown line one with plenty of text"),
+         (2, f"{boiler}\nsecond doc keeps its own long line intact here\nshort")],
+        "doc_id long, text string",
+    )
+    out = global_line_dedup(df).toPandas().set_index("doc_id")["deduped_text"]
+    assert boiler in out[1]          # first occurrence survives
+    assert boiler not in out[2]      # later occurrences removed
+    assert "second doc keeps its own long line" in out[2]
+    assert out[1].count("short") == 1 and out[2].count("short") == 1  # short lines untouched
