@@ -432,3 +432,47 @@ def global_line_dedup(df: DataFrame, text_col: str = "text",
         )
         .orderBy("doc_id")
     )
+
+
+def contamination_overlap(train: DataFrame, evalset: DataFrame,
+                          text_col: str = "text",
+                          min_overlap_frac: float = 0.5) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose shingle
+    sets overlap an evaluation set — the check every pre-training pipeline
+    runs so eval answers don't leak into the corpus.
+
+    Asymmetric inverted-index shape: both sides shingle, explode to
+    (shingle, doc) postings, join train postings against the (much
+    smaller) eval postings on the shingle, count matches per (train, eval)
+    pair, divide by the train doc's shingle count. At scale the eval side
+    is tiny — Spark broadcasts it and the join never shuffles the training
+    corpus. Returns (train_doc_id, eval_doc_id, overlap_frac) above the
+    threshold.
+    """
+    t_sh = train.filter(has_min_words(F.col(text_col))).select(
+        F.col("doc_id").alias("train_doc_id"),
+        word_shingles(F.col(text_col)).alias("sh"),
+    )
+    t_posts = t_sh.select("train_doc_id", F.explode("sh").alias("g"))
+    e_posts = (
+        evalset.filter(has_min_words(F.col(text_col)))
+        .select(F.col("doc_id").alias("eval_doc_id"),
+                word_shingles(F.col(text_col)).alias("sh"))
+        .select("eval_doc_id", F.size("sh").alias("n_eval_sh"),
+                F.explode("sh").alias("g"))
+    )
+    # overlap_frac = fraction of the EVAL doc's shingles present in the
+    # training doc — the denominator must be the eval side, or a long
+    # training document containing a whole eval question would dilute the
+    # ratio below any threshold and evade detection
+    return (
+        t_posts.join(F.broadcast(e_posts), "g")
+        .groupBy("train_doc_id", "eval_doc_id", "n_eval_sh")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .select(
+            "train_doc_id", "eval_doc_id",
+            F.round(F.col("shared") / F.col("n_eval_sh"), 6).alias("overlap_frac"),
+        )
+        .filter(F.col("overlap_frac") >= min_overlap_frac)
+        .orderBy("train_doc_id", "eval_doc_id")
+    )

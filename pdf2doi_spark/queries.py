@@ -1016,6 +1016,65 @@ def _q_corpus_pipeline():
     return q, sql
 
 
+def _q_decontaminate():
+    """Eval-set decontamination: docs 0..9 play the benchmark; every
+    doc_id % 50 == 0 training doc carries an exact copy of eval doc
+    (doc_id/50 % 10)'s text (known full-overlap contamination), the rest
+    only collide by chance."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.dedup import contamination_overlap
+
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        evalset = d.filter(F.col("doc_id") < 10)
+        eval_texts = evalset.select(
+            F.col("doc_id").alias("_eid"), F.col("text").alias("_etext")
+        )
+        train = (
+            d.filter(F.col("doc_id") >= 10)
+            .withColumn("_eid", (F.col("doc_id") / 50).cast("long") % 10)
+            .join(F.broadcast(eval_texts), "_eid", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("doc_id") % 50 == 0, F.col("_etext"))
+                .otherwise(F.col("text")).alias("text"),
+            )
+        )
+        return contamination_overlap(train, evalset, min_overlap_frac=0.5)
+
+    sql = r"""
+        WITH evalset AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 10
+        ), train AS (
+          SELECT d.doc_id,
+                 CASE WHEN d.doc_id % 50 = 0 THEN e.text ELSE d.text END AS text
+          FROM documents d
+          LEFT JOIN evalset e ON e.doc_id = CAST(d.doc_id / 50 AS BIGINT) % 10
+          WHERE d.doc_id >= 10
+        ), tsh AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+          FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w FROM train)
+          WHERE len(w) >= 3
+        ), esh AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+          FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w FROM evalset)
+          WHERE len(w) >= 3
+        ), tp AS (
+          SELECT doc_id AS train_doc_id, unnest(s) AS g FROM tsh
+        ), ep AS (
+          SELECT doc_id AS eval_doc_id, len(s) AS n_eval_sh, unnest(s) AS g FROM esh
+        )
+        SELECT train_doc_id, eval_doc_id,
+               round(count(*) * 1.0 / n_eval_sh, 6) AS overlap_frac
+        FROM tp JOIN ep USING (g)
+        GROUP BY train_doc_id, eval_doc_id, n_eval_sh
+        HAVING round(count(*) * 1.0 / n_eval_sh, 6) >= 0.5
+        ORDER BY train_doc_id, eval_doc_id
+    """
+    return q, sql
+
+
 def _q_line_dedup():
     """Global line dedup over synthesized multi-line docs where every doc
     carries the same boilerplate line: it must survive only in the first
@@ -1721,6 +1780,7 @@ _BUILDERS = {
     "sketch_overlap": _q_sketch_overlap,
     "near_dup_clusters": _q_near_dup_clusters,
     "line_dedup": _q_line_dedup,
+    "decontaminate": _q_decontaminate,
     "corpus_pipeline": _q_corpus_pipeline,
     "hash_sample": _q_hash_sample,
     "canonical_urls": _q_canonical_urls,

@@ -599,3 +599,25 @@ def test_global_line_dedup_boilerplate(spark):
     assert boiler not in out[2]      # later occurrences removed
     assert "second doc keeps its own long line" in out[2]
     assert out[1].count("short") == 1 and out[2].count("short") == 1  # short lines untouched
+
+
+def test_contamination_overlap_detects_copies(spark):
+    from pdf2doi_spark.operators.dedup import contamination_overlap
+
+    eval_text = ("which regex tier matches a bare identifier followed by a "
+                 "terminator in running text of the corpus")
+    evalset = spark.createDataFrame([(0, eval_text)], "doc_id long, text string")
+    filler = " ".join(f"pad{i} filler token" for i in range(200))
+    train = spark.createDataFrame(
+        [(100, eval_text),                                      # verbatim leak
+         (101, filler + " " + eval_text + " " + filler),        # eval embedded
+         (102, "entirely unrelated training document about shuffles and joins here")],
+        "doc_id long, text string",
+    )
+    out = contamination_overlap(train, evalset, min_overlap_frac=0.5).toPandas()
+    flagged = set(out["train_doc_id"])
+    # 101 buries the whole eval doc in a long document — the eval-side
+    # denominator must still flag it at full overlap
+    assert 100 in flagged and 101 in flagged and 102 not in flagged
+    full = out.set_index("train_doc_id")["overlap_frac"]
+    assert full[100] == 1.0 and full[101] == 1.0
