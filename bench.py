@@ -47,6 +47,9 @@ HEADLINE = [
     "length_percentiles",
     "quality_score",
     "token_count",
+    "canonical_urls",
+    "redact_pii",
+    "line_dedup",
     "domain_counts_salted",
 ]
 
