@@ -296,3 +296,53 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.regexp_replace(t, IP_RE, "<IP>")
     t = F.regexp_replace(t, PHONE_RE, "<PHONE>")
     return df.select(F.col("doc_id"), t.alias("redacted_text"))
+
+
+def grouped_percentile_profile(df: DataFrame, group_col: str,
+                               value_col: str) -> DataFrame:
+    """Per-group value profile via grouped-map ``applyInPandas`` — the API
+    for per-group imperative logic whose state fits one executor (each
+    group arrives as ONE pandas frame; numpy does the math at C speed).
+    The math here (linear-interpolation percentiles) exists natively too,
+    which is exactly why this operator carries an exact oracle: it pins
+    the grouped-map plumbing itself, so custom per-group kernels that are
+    NOT SQL-expressible can be built on a verified shape.
+
+    Skew note: one group = one task; a head group with 10^8 rows must be
+    pre-aggregated or sketched instead (see approx_stats) — grouped-map is
+    for bounded groups.
+    """
+    import numpy as np
+
+    schema = (
+        f"{group_col} string, n_rows long, p50 double, p95 double"
+    )
+
+    def profile(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["_v"].to_numpy(dtype="float64")
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "n_rows": [len(v)],
+                "p50": [round(float(np.percentile(v, 50)), 5)],
+                "p95": [round(float(np.percentile(v, 95)), 5)],
+            }
+        )
+
+    keyed = df.select(
+        F.col(group_col).cast("string").alias(group_col),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    return keyed.groupBy(group_col).applyInPandas(profile, schema).orderBy(group_col)
+
+
+def domain_size_profile(pages: DataFrame) -> DataFrame:
+    """Per-domain html-size profile (grouped_percentile_profile over the
+    crawl's natural grouping key)."""
+    from pdf2doi_spark.operators.extract import domain_of
+
+    sized = pages.select(
+        domain_of(F.col("url")).alias("domain"),
+        F.length(F.col("html")).alias("n_bytes"),
+    )
+    return grouped_percentile_profile(sized, "domain", "n_bytes")

@@ -1016,6 +1016,30 @@ def _q_corpus_pipeline():
     return q, sql
 
 
+def _q_domain_profile():
+    """Grouped-map applyInPandas percentile profile (per-source text
+    lengths): numpy's linear-interpolation percentile equals DuckDB's
+    quantile_cont, giving the grouped-map plumbing an exact oracle."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        from pdf2doi_spark.operators.quality import grouped_percentile_profile
+
+        d = _docs(spark, sf_dir).select(
+            "source", F.length("text").alias("n_chars_text")
+        )
+        return grouped_percentile_profile(d, "source", "n_chars_text")
+
+    sql = """
+        SELECT source,
+               count(*) AS n_rows,
+               round(quantile_cont(CAST(length(text) AS DOUBLE), 0.50), 5) AS p50,
+               round(quantile_cont(CAST(length(text) AS DOUBLE), 0.95), 5) AS p95
+        FROM documents
+        GROUP BY source ORDER BY source
+    """
+    return q, sql
+
+
 def _q_decontaminate():
     """Eval-set decontamination: docs 0..9 play the benchmark; every
     doc_id % 50 == 0 training doc carries an exact copy of eval doc
@@ -1781,6 +1805,7 @@ _BUILDERS = {
     "near_dup_clusters": _q_near_dup_clusters,
     "line_dedup": _q_line_dedup,
     "decontaminate": _q_decontaminate,
+    "grouped_profile": _q_domain_profile,
     "corpus_pipeline": _q_corpus_pipeline,
     "hash_sample": _q_hash_sample,
     "canonical_urls": _q_canonical_urls,

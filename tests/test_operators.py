@@ -621,3 +621,13 @@ def test_contamination_overlap_detects_copies(spark):
     assert 100 in flagged and 101 in flagged and 102 not in flagged
     full = out.set_index("train_doc_id")["overlap_frac"]
     assert full[100] == 1.0 and full[101] == 1.0
+
+
+def test_domain_size_profile_shape(spark, sf_dir):
+    from pdf2doi_spark.operators.quality import domain_size_profile
+    from pdf2doi_spark.pages import pages_from_documents
+
+    prof = domain_size_profile(pages_from_documents(spark, sf_dir)).toPandas()
+    assert prof["n_rows"].sum() == 500
+    assert (prof["p95"] >= prof["p50"]).all()
+    assert prof["domain"].is_unique
