@@ -417,18 +417,26 @@ def global_line_dedup(df: DataFrame, text_col: str = "text",
         lines.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
     )
-    return (
-        kept.groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("pos"), F.col("line")))
-                    ),
-                    lambda s: s["line"],
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
                 ),
-                "\n",
-            ).alias("deduped_text")
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("deduped_text")
+    )
+    # a document whose every line was a non-first duplicate must SURVIVE
+    # with empty text (C4 semantics: emptiness is a later quality filter's
+    # decision) — re-join against the full doc set so no doc ever vanishes
+    return (
+        df.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("deduped_text", F.lit("")).alias("deduped_text"),
         )
         .orderBy("doc_id")
     )
@@ -444,7 +452,8 @@ def contamination_overlap(train: DataFrame, evalset: DataFrame,
     Asymmetric inverted-index shape: both sides shingle, explode to
     (shingle, doc) postings, join train postings against the (much
     smaller) eval postings on the shingle, count matches per (train, eval)
-    pair, divide by the train doc's shingle count. At scale the eval side
+    pair, divide by the EVAL doc's shingle count (fraction of the eval doc
+    covered — a long train doc embedding a whole eval item still scores 1). At scale the eval side
     is tiny — Spark broadcasts it and the join never shuffles the training
     corpus. Returns (train_doc_id, eval_doc_id, overlap_frac) above the
     threshold.

@@ -319,13 +319,15 @@ def grouped_percentile_profile(df: DataFrame, group_col: str,
     )
 
     def profile(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf["_v"].to_numpy(dtype="float64")
+        # SQL percentile semantics: NULLs are ignored by the quantile but
+        # still counted in n_rows (one NULL must not poison the group to NaN)
+        v = pdf["_v"].dropna().to_numpy(dtype="float64")
         return pd.DataFrame(
             {
                 group_col: [pdf[group_col].iloc[0]],
-                "n_rows": [len(v)],
-                "p50": [round(float(np.percentile(v, 50)), 5)],
-                "p95": [round(float(np.percentile(v, 95)), 5)],
+                "n_rows": [len(pdf)],
+                "p50": [round(float(np.percentile(v, 50)), 5) if len(v) else None],
+                "p95": [round(float(np.percentile(v, 95)), 5) if len(v) else None],
             }
         )
 

@@ -1055,7 +1055,7 @@ def _q_decontaminate():
         )
         train = (
             d.filter(F.col("doc_id") >= 10)
-            .withColumn("_eid", (F.col("doc_id") / 50).cast("long") % 10)
+            .withColumn("_eid", F.floor(F.col("doc_id") / 50).cast("long") % 10)
             .join(F.broadcast(eval_texts), "_eid", "left")
             .select(
                 "doc_id",
@@ -1072,7 +1072,7 @@ def _q_decontaminate():
           SELECT d.doc_id,
                  CASE WHEN d.doc_id % 50 = 0 THEN e.text ELSE d.text END AS text
           FROM documents d
-          LEFT JOIN evalset e ON e.doc_id = CAST(d.doc_id / 50 AS BIGINT) % 10
+          LEFT JOIN evalset e ON e.doc_id = CAST(floor(d.doc_id / 50) AS BIGINT) % 10
           WHERE d.doc_id >= 10
         ), tsh AS (
           SELECT doc_id,
@@ -1144,9 +1144,14 @@ def _q_line_dedup():
             FROM keyed
           ) WHERE rn = 1
         )
-        SELECT doc_id,
-               array_to_string(list(line ORDER BY pos), chr(10)) AS deduped_text
-        FROM kept GROUP BY doc_id ORDER BY doc_id
+        , rebuilt AS (
+          SELECT doc_id,
+                 array_to_string(list(line ORDER BY pos), chr(10)) AS deduped_text
+          FROM kept GROUP BY doc_id
+        )
+        SELECT i.doc_id, coalesce(r.deduped_text, '') AS deduped_text
+        FROM inp i LEFT JOIN rebuilt r ON i.doc_id = r.doc_id
+        ORDER BY i.doc_id
     """
     return q, sql
 

@@ -631,3 +631,27 @@ def test_domain_size_profile_shape(spark, sf_dir):
     assert prof["n_rows"].sum() == 500
     assert (prof["p95"] >= prof["p50"]).all()
     assert prof["domain"].is_unique
+
+
+def test_global_line_dedup_keeps_emptied_docs(spark):
+    from pdf2doi_spark.operators.dedup import global_line_dedup
+
+    line = "accept all cookies to continue reading this site"
+    df = spark.createDataFrame(
+        [(1, line), (2, line)], "doc_id long, text string"
+    )
+    out = global_line_dedup(df).toPandas().set_index("doc_id")["deduped_text"]
+    assert set(out.index) == {1, 2}
+    assert out[1] == line and out[2] == ""
+
+
+def test_grouped_profile_ignores_nulls(spark):
+    from pdf2doi_spark.operators.quality import grouped_percentile_profile
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", None), ("b", None)],
+        "g string, v double",
+    )
+    out = grouped_percentile_profile(df, "g", "v").toPandas().set_index("g")
+    assert out.loc["a"]["n_rows"] == 2 and out.loc["a"]["p50"] == 10.0
+    assert out.loc["b"]["n_rows"] == 1 and pd.isna(out.loc["b"]["p50"])
