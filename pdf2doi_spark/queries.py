@@ -716,13 +716,43 @@ def _q_minhash_bands():
 
 
 def _q_simhash():
+    """64-bit SimHash. The numpy bit-vote kernel IS SQL-expressible after
+    all — per token the hash is the big-endian first 8 md5 bytes, so the
+    oracle unnests (token × bit) pairs, majority-votes each bit, and
+    reassembles the signed 64-bit value (two's-complement conversion via
+    HUGEINT)."""
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
         from pdf2doi_spark.operators.dedup import simhash
 
         return simhash(_docs(spark, sf_dir))
 
-    return q, None  # bit-vote kernel: rows-only check
+    sql = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN length(trim(text)) = 0 THEN []
+                                    ELSE regexp_split_to_array(lower(trim(text)), '\s+') END) AS tk
+          FROM documents
+        ), th AS (
+          SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h, len(tk) AS n
+          FROM toks, unnest(tk) AS u(tok)
+        ), bits AS (
+          SELECT doc_id, j, sum(CAST((h >> j) & 1 AS INT)) AS ones, any_value(n) AS n
+          FROM th, (SELECT unnest(range(0, 64)) AS j)
+          GROUP BY doc_id, j
+        ), v AS (
+          SELECT doc_id,
+                 sum(CASE WHEN 2 * ones > n THEN CAST(1::UBIGINT << j AS HUGEINT) ELSE 0 END) AS val
+          FROM bits GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(CASE WHEN v.val >= 9223372036854775808
+                                  THEN v.val - 18446744073709551616
+                                  ELSE v.val END, 0) AS BIGINT) AS simhash
+        FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
+        ORDER BY d.doc_id
+    """
+    return q, sql
 
 
 def _q_minhash_near_dups():
