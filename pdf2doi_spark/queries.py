@@ -1341,7 +1341,44 @@ def _q_ann_lsh_topk():
         qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
         return ann_lsh_topk(e, qvec, k=10, n_planes=6)
 
-    return q, None  # hash-derived hyperplanes: rows-only check
+    # The hash-derived hyperplanes are md5-deterministic, so even this is
+    # exactly SQL-expressible: rebuild the ±1 planes from md5 parity, sign
+    # the projections into signature strings, bucket-match, cosine-rerank.
+    sql = r"""
+        WITH planes AS (
+          SELECT p, d,
+                 CASE WHEN ('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 2))::INT & 1 = 1
+                      THEN 1.0 ELSE -1.0 END AS s
+          FROM (SELECT unnest(range(0, 6)) AS p), (SELECT unnest(range(0, 64)) AS d)
+        ), vecs AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings
+        ), sigs AS (
+          SELECT v.vec_id, pl.p,
+                 CASE WHEN sum(v.x * pl.s) >= 0 THEN '1' ELSE '0' END AS bit
+          FROM vecs v JOIN planes pl ON v.d = pl.d
+          GROUP BY v.vec_id, pl.p
+        ), sig AS (
+          SELECT vec_id, string_agg(bit, '' ORDER BY p) AS lsh_sig
+          FROM sigs GROUP BY vec_id
+        ), q AS (
+          SELECT s.lsh_sig AS qsig,
+                 list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM sig s JOIN embeddings e ON e.vec_id = s.vec_id
+          WHERE e.vec_id = 0
+        )
+        SELECT e.vec_id,
+               round(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv)
+                     / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                              list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+        FROM embeddings e JOIN sig s ON s.vec_id = e.vec_id, q
+        WHERE s.lsh_sig = q.qsig
+        ORDER BY cosine DESC, e.vec_id
+        LIMIT 10
+    """
+    return q, sql
 
 
 _CENTROID_CTE = """
