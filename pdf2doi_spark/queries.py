@@ -1709,6 +1709,73 @@ def _q_distinct_counts():
     return q, sql
 
 
+def _q_funnel():
+    """Ordered funnel conversion over the events stream: per user, the
+    earliest view, the earliest click strictly after it, the earliest
+    purchase strictly after that — the classic sequential-pattern query
+    (three min-aggregations + user-key joins; each stage's timestamp
+    anchors the next, so out-of-order events never count)."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+        )
+        v = (
+            e.filter(F.col("event_type") == "view")
+            .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+        )
+        c = (
+            e.filter(F.col("event_type") == "click")
+            .join(v, "user_id")
+            .filter(F.col("ts") > F.col("t_view"))
+            .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+        )
+        p = (
+            e.filter(F.col("event_type") == "purchase")
+            .join(c, "user_id")
+            .filter(F.col("ts") > F.col("t_click"))
+            .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+        )
+        funnel = (
+            v.join(c, "user_id", "left").join(p, "user_id", "left")
+            .select(
+                "user_id",
+                F.when(F.col("t_purchase").isNotNull(), "view>click>purchase")
+                .when(F.col("t_click").isNotNull(), "view>click")
+                .otherwise("view").alias("stage"),
+            )
+        )
+        return (
+            funnel.groupBy("stage")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .orderBy("stage")
+        )
+
+    sql = """
+        WITH v AS (
+          SELECT user_id, min(ts) AS t_view FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+          SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id
+        ), p AS (
+          SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id
+        )
+        SELECT CASE WHEN p.t_purchase IS NOT NULL THEN 'view>click>purchase'
+                    WHEN c.t_click IS NOT NULL THEN 'view>click'
+                    ELSE 'view' END AS stage,
+               count(*) AS n_users
+        FROM v LEFT JOIN c ON v.user_id = c.user_id
+               LEFT JOIN p ON v.user_id = p.user_id
+        GROUP BY 1 ORDER BY 1
+    """
+    return q, sql
+
+
 def _q_topk_per_group():
     """Per-language top-3 longest documents — window row_number + filter,
     the generic top-k-per-group shape (rank shuffle on the group key only)."""
@@ -1898,6 +1965,7 @@ _BUILDERS = {
     "embedding_near_dups": _q_embedding_near_dups,
     "sessionize": _q_sessionize,
     "topk_per_group": _q_topk_per_group,
+    "funnel": _q_funnel,
     "metrics_cube": _q_metrics_cube,
     "distinct_counts": _q_distinct_counts,
 }
