@@ -1709,6 +1709,88 @@ def _q_distinct_counts():
     return q, sql
 
 
+def _q_tpch_q1():
+    """TPC-H Q1 (pricing summary) over the provided lineitem table — the
+    canonical scan-heavy aggregate: date-filtered, map-side partial agg on
+    a 4-value group key, fully whole-stage-codegen."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        charge = disc_price * (1 + F.col("l_tax"))
+        return (
+            l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+                F.round(F.sum(charge), 2).alias("sum_charge"),
+                F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    sql = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """
+    return q, sql
+
+
+def _q_tpch_q3():
+    """TPC-H Q3 (shipping priority): the canonical 3-way join + top-k —
+    selective dimension filters reach both scans, the join keys are the
+    natural shuffle keys, and the global top-10 runs as per-partition
+    top-k + merge."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        cutoff = F.lit("1995-03-15").cast("date")
+        return (
+            c.filter(F.col("c_mktsegment") == "BUILDING")
+            .join(o, F.col("c_custkey") == F.col("o_custkey"))
+            .filter(F.col("o_orderdate") < cutoff)
+            .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+            .filter(F.col("l_shipdate") > cutoff)
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue")
+            )
+            .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+            .limit(10)
+        )
+
+    sql = """
+        SELECT l_orderkey, o_orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < DATE '1995-03-15'
+          AND l_shipdate > DATE '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """
+    return q, sql
+
+
 def _q_funnel():
     """Ordered funnel conversion over the events stream: per user, the
     earliest view, the earliest click strictly after it, the earliest
@@ -1966,6 +2048,8 @@ _BUILDERS = {
     "sessionize": _q_sessionize,
     "topk_per_group": _q_topk_per_group,
     "funnel": _q_funnel,
+    "tpch_q1": _q_tpch_q1,
+    "tpch_q3": _q_tpch_q3,
     "metrics_cube": _q_metrics_cube,
     "distinct_counts": _q_distinct_counts,
 }
