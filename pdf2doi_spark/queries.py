@@ -629,10 +629,16 @@ def _q_fingerprint():
 
 
 def _q_winnowing_sketch():
+    """Sketch serialized to a '|'-joined string: the driver's canonicalizer
+    cannot hash array cells (round-1 ERR), so the query emits the scalar
+    form; the array-valued operator itself is pinned by pytest."""
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pdf2doi_spark.operators.quality import winnowing_sketch
 
-        return winnowing_sketch(_docs(spark, sf_dir))
+        out = winnowing_sketch(_docs(spark, sf_dir))
+        return out.select(
+            "doc_id", F.array_join("sketch", "|").alias("sketch")
+        )
 
     sql = r"""
         WITH words AS (
@@ -641,9 +647,10 @@ def _q_winnowing_sketch():
           FROM documents
         )
         SELECT doc_id,
-               CASE WHEN len(w) >= 3
-                    THEN list_sort(list_distinct([md5(array_to_string(w[i:i+2], ' ')) for i in range(1, len(w) - 1)]))[1:8]
-                    ELSE [] END AS sketch
+               array_to_string(
+                 CASE WHEN len(w) >= 3
+                      THEN list_sort(list_distinct([md5(array_to_string(w[i:i+2], ' ')) for i in range(1, len(w) - 1)]))[1:8]
+                      ELSE [] END, '|') AS sketch
         FROM words
     """
     return q, sql
@@ -1038,7 +1045,8 @@ def _q_corpus_pipeline():
           SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
           FROM kept
         )
-        SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                round(avg(score), 6) AS avg_score
         FROM dedup WHERE rn = 1
         GROUP BY lang ORDER BY lang
@@ -1517,10 +1525,16 @@ def _q_approx_stats():
 
 
 def _q_label_centroids():
+    """Centroids in exploded (label, pos, centroid_val) form: scalar doubles
+    per row, which the driver's canonicalizer can hash (the array-per-label
+    shape crashed it in round 1). Same aggregation, same rounding."""
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pdf2doi_spark.operators.similarity import pairwise_label_centroids
 
-        return pairwise_label_centroids(_emb(spark, sf_dir))
+        cents = pairwise_label_centroids(_emb(spark, sf_dir))
+        return cents.select(
+            "label", F.posexplode("centroid").alias("pos", "centroid_val")
+        ).orderBy("label", "pos")
 
     sql = """
         WITH e AS (
@@ -1529,13 +1543,10 @@ def _q_label_centroids():
                  unnest(embedding) AS val
           FROM embeddings
         )
-        SELECT label,
-               list(round(mean_val, 6) ORDER BY pos) AS centroid
-        FROM (
-          SELECT label, pos, avg(CAST(val AS DOUBLE)) AS mean_val
-          FROM e GROUP BY label, pos
-        )
-        GROUP BY label ORDER BY label
+        SELECT label, CAST(pos AS INTEGER) AS pos,
+               round(avg(CAST(val AS DOUBLE)), 6) AS centroid_val
+        FROM e GROUP BY label, pos
+        ORDER BY label, pos
     """
     return q, sql
 
@@ -1565,22 +1576,44 @@ def _q_ngram_jaccard():
 
 
 def _q_embedding_near_dups():
-    """Embedding-cosine near-duplicate pairs within label buckets — the
-    embedding analogue of MinHash candidate generation: bucket (label) join,
-    exact cosine verify, threshold filter."""
-    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from pdf2doi_spark.operators.similarity import _dot, _norm
+    """Embedding-cosine near-duplicate pairs, MinHash-shaped at scale:
+    LSH-signature buckets generate candidates (equi-join on the 8-bit
+    hyperplane signature — never an all-pairs or per-label quadratic join),
+    exact cosine verifies, threshold filters.
 
-        e = _emb(spark, sf_dir).select("vec_id", "label", "embedding")
-        a = e.alias("a")
-        b = e.alias("b")
+    Near-dups are PLANTED deterministically so the check is non-vacuous
+    (round 1 compared 0 rows to 0 rows): every 10th vector gets a twin
+    scaled ±2% on alternating dims — cosine ≥ 0.999 by construction, and
+    both engines build the twin with identical double arithmetic."""
+    N_PLANES, TWIN_OFF = 8, 10_000_000
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.similarity import (
+            _dot, _norm, _plane_signs, lsh_signature_col,
+        )
+
+        base = _emb(spark, sf_dir).select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        twins = base.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + TWIN_OFF).alias("vec_id"),
+            F.transform(
+                "v",
+                lambda x, i: x * F.when(i % 2 == 0, F.lit(1.02)).otherwise(F.lit(0.98)),
+            ).alias("v"),
+        )
+        planes = _plane_signs(N_PLANES, 64)
+        aug = base.unionByName(twins).withColumn(
+            "lsh_sig", lsh_signature_col(F.col("v"), planes)
+        )
+        a, b = aug.alias("a"), aug.alias("b")
         cos = F.round(
-            _dot(F.col("a.embedding"), F.col("b.embedding"))
-            / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
-            6,
+            _dot(F.col("a.v"), F.col("b.v"))
+            / (_norm(F.col("a.v")) * _norm(F.col("b.v"))), 6
         )
         return (
-            a.join(b, (F.col("a.label") == F.col("b.label"))
+            a.join(b, (F.col("a.lsh_sig") == F.col("b.lsh_sig"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
             .select(
                 F.col("a.vec_id").alias("vec_a"),
@@ -1591,18 +1624,45 @@ def _q_embedding_near_dups():
             .orderBy("vec_a", "vec_b")
         )
 
-    sql = """
-        WITH e AS (
-          SELECT vec_id, label,
-                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    sql = f"""
+        WITH base AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings
+        ), aug AS (
+          SELECT vec_id, v FROM base
+          UNION ALL
+          SELECT vec_id + {TWIN_OFF} AS vec_id,
+                 [v[i] * (CASE WHEN (i-1)%2 = 0 THEN 1.02 ELSE 0.98 END)
+                  for i in range(1, len(v)+1)] AS v
+          FROM base WHERE vec_id % 10 = 0
+        ), planes AS (
+          SELECT p, d,
+                 CASE WHEN ('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 2))::INT & 1 = 1
+                      THEN 1.0 ELSE -1.0 END AS s
+          FROM (SELECT unnest(range(0, {N_PLANES})) AS p), (SELECT unnest(range(0, 64)) AS d)
+        ), vecs AS (
+          SELECT vec_id, generate_subscripts(v, 1) - 1 AS d, unnest(v) AS x
+          FROM aug
+        ), sigs AS (
+          SELECT v.vec_id, pl.p,
+                 CASE WHEN sum(v.x * pl.s) >= 0 THEN '1' ELSE '0' END AS bit
+          FROM vecs v JOIN planes pl ON v.d = pl.d
+          GROUP BY v.vec_id, pl.p
+        ), sig AS (
+          SELECT vec_id, string_agg(bit, '' ORDER BY p) AS lsh_sig
+          FROM sigs GROUP BY vec_id
+        ), scored AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 round(list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+          FROM aug a
+          JOIN sig sa ON sa.vec_id = a.vec_id
+          JOIN sig sb ON sb.lsh_sig = sa.lsh_sig AND sb.vec_id > sa.vec_id
+          JOIN aug b ON b.vec_id = sb.vec_id
         )
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(list_dot_product(a.v, b.v)
-                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE round(list_dot_product(a.v, b.v)
-                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.95
+        SELECT vec_a, vec_b, cosine FROM scored
+        WHERE cosine >= 0.95
         ORDER BY vec_a, vec_b
     """
     return q, sql
@@ -1617,13 +1677,15 @@ def _q_sessionize():
 
         e = spark.read.parquet(f"{sf_dir}/events.parquet")
         w = Window.partitionBy("user_id").orderBy("ts")
-        # ts is TIMESTAMP_NTZ (no direct cast to long in Spark 4); route via
-        # TIMESTAMP — only gap differences are used, so the tz shift cancels.
-        secs = F.col("ts").cast("timestamp").cast("long")
-        gap = secs - F.lag(secs).over(w)
+        # Gap in MICROSECONDS: ts is TIMESTAMP_NTZ with fractional seconds,
+        # and a whole-seconds cast truncates — a gap in (1800, 1801) would
+        # split sessions differently from a fractional-second engine. The
+        # tz shift of ntz→timestamp cancels in the difference.
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        gap = us - F.lag(us).over(w)
         marked = e.select(
             "user_id", "ts",
-            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("is_new"),
+            F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0).alias("is_new"),
         )
         sess = marked.withColumn(
             "session_idx",
@@ -1646,7 +1708,7 @@ def _q_sessionize():
         WITH marked AS (
           SELECT user_id, ts,
                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                           OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
                       THEN 1 ELSE 0 END AS is_new
           FROM events
         ), sess AS (
@@ -1655,7 +1717,7 @@ def _q_sessionize():
                                    ROWS UNBOUNDED PRECEDING) AS session_idx
           FROM marked
         )
-        SELECT user_id, session_idx,
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
                count(*) AS n_events,
                min(ts) AS session_start,
                max(ts) AS session_end
