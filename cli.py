@@ -95,15 +95,25 @@ def main() -> None:
             pages, replace_arxiv=not args.no_arxiv2doi, with_text=False,
             cache=cache_df,
         )
-        # Collect the report BEFORE merging into the cache: the results
-        # plan reads the cache parquet, so mutating it first would race a
-        # possible recomputation (Spark .cache() is best-effort, never a
-        # correctness barrier).
-        lines = [r["report_line"] for r in format_report(results).collect()]
         if args.cache:
+            # Materialize the extraction ONCE: both the report and the cache
+            # merge re-read the parquet instead of re-running the kernel
+            # (merge_cache would otherwise recompute the full mapInPandas
+            # plan), and the materialized copy also removes the read-your-
+            # own-input race of merging into a cache the plan still reads
+            # (.cache() is best-effort, never a correctness barrier).
+            import tempfile
+
             from pdf2doi_spark.sources.io import merge_cache
 
+            snap = os.path.join(tempfile.mkdtemp(prefix="pdf2doi_run_"),
+                                "results.parquet")
+            results.write.mode("overwrite").parquet(snap)
+            results = spark.read.parquet(snap)
+            lines = [r["report_line"] for r in format_report(results).collect()]
             merge_cache(spark, args.cache, results)
+        else:
+            lines = [r["report_line"] for r in format_report(results).collect()]
         for line in lines:
             print(line)
         if args.save:

@@ -87,6 +87,18 @@ def _batch_extract(batch: pd.DataFrame, replace_arxiv: bool,
         if b is None:
             return False
         bb = bytes(b)
+        # UTF-16/32 payloads are NUL-interleaved: the ASCII byte scan can
+        # never see '10.' in them even though the decoder extracts it, so
+        # BOM'd rows are candidates unconditionally (rare on real crawls;
+        # correctness beats the skipped prefilter). Every non-BOM charset
+        # the decoder can select is an ASCII superset (meta declarations
+        # are themselves read as ASCII bytes, and declared utf-16/32 is
+        # remapped to utf-8 per WHATWG — see webmeta._decode), so the raw
+        # scan stays a sound necessary condition for all other rows.
+        if bb[:2] in (b"\xff\xfe", b"\xfe\xff") or bb[:4] in (
+            b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff"
+        ):
+            return True
         return _DOI_MARK_B in bb or _ARXIV_RE_B.search(bb) is not None
 
     cols = (url.fillna(""), text.fillna(""))

@@ -205,24 +205,30 @@ def compression_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     zlib is C-speed but not expressible in SQL, so this is the quality
     family's one Arrow-batched pandas UDF (vectorized over the batch, one
-    JVM↔Python crossing per batch; engine-specific → rows-only driver
-    check, pinned by a tolerance pytest instead).
+    JVM↔Python crossing per batch). The driver oracle compares against
+    ratios precomputed by the SAME ``zlib_ratio`` function outside Spark
+    (see queries._q_compression_ratio), which pins the distributed plumbing
+    exactly; a tolerance pytest pins the discrimination property.
     """
-    import zlib
-
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def _ratio(texts: pd.Series) -> pd.Series:
-        def one(t):
-            if not t:
-                return 0.0
-            raw = t.encode("utf-8", errors="replace")
-            return round(len(zlib.compress(raw, 6)) / len(raw), 6)
-
-        return texts.map(one)
+        return texts.map(zlib_ratio)
 
     return df.select(F.col("doc_id"), _ratio(F.col(text_col)).alias("compression_ratio"))
+
+
+def zlib_ratio(t) -> float:
+    """ONE definition of the per-document ratio (compressed/raw bytes at
+    zlib level 6, rounded to 6 dp) — shared by the Spark UDF and the
+    driver-oracle precomputation so they can never drift."""
+    import zlib
+
+    if not t:
+        return 0.0
+    raw = t.encode("utf-8", errors="replace")
+    return round(len(zlib.compress(raw, 6)) / len(raw), 6)
 
 
 def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -762,6 +762,53 @@ def _q_simhash():
     return q, sql
 
 
+def _q_simhash_near_dups():
+    """SimHash near-dup pairs (Hamming ≤ 3) via 16-bit-chunk pigeonhole
+    banding — candidates shuffle on the banded key only, never all-pairs.
+    Exact oracle: the SQL rebuilds the bit votes, bands the UBIGINT value,
+    and bit-counts the XOR (dedup.py:240)."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        from pdf2doi_spark.operators.dedup import simhash_near_duplicates
+
+        return simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=3)
+
+    sql = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN length(trim(text)) = 0 THEN []
+                                    ELSE regexp_split_to_array(lower(trim(text)), '\s+') END) AS tk
+          FROM documents
+        ), th AS (
+          SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h, len(tk) AS n
+          FROM toks, unnest(tk) AS u(tok)
+        ), bits AS (
+          SELECT doc_id, j, sum(CAST((h >> j) & 1 AS INT)) AS ones, any_value(n) AS n
+          FROM th, (SELECT unnest(range(0, 64)) AS j)
+          GROUP BY doc_id, j
+        ), v AS (
+          SELECT doc_id,
+                 sum(CASE WHEN 2 * ones > n THEN CAST(1::UBIGINT << j AS HUGEINT) ELSE 0 END) AS val
+          FROM bits GROUP BY doc_id
+        ), sh AS (
+          SELECT d.doc_id, CAST(coalesce(v.val, 0) AS UBIGINT) AS u
+          FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
+        ), bands AS (
+          SELECT doc_id, u, b.band_idx,
+                 CAST((u >> (16 * b.band_idx)) & 65535 AS INT) AS chunk
+          FROM sh, (SELECT unnest(range(0, 4)) AS band_idx) b
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.u, b.u)) AS INT) AS hamming
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.chunk = b.chunk
+                    AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.u, b.u)) <= 3
+        ORDER BY doc_a, doc_b
+    """
+    return q, sql
+
+
 def _q_minhash_near_dups():
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pdf2doi_spark.operators.dedup import minhash_near_duplicates
@@ -946,16 +993,45 @@ def _q_redact_pii():
     return q, sql
 
 
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's fixed oracle scale
+
+
 def _q_compression_ratio():
-    """zlib compression ratio (engine-specific bytes → rows-only check;
-    tests/test_operators.py::test_compression_ratio_discriminates pins the
-    discrimination property)."""
+    """zlib compression ratio. DuckDB has no zlib, but the expected ratios
+    are a pure function of the deterministic synthetic docs — so the oracle
+    is built by running the SAME ``zlib_ratio`` function over the sf0.01
+    documents OUTSIDE Spark (plain duckdb read + python map) and inlining
+    the expected values; the join against the live ``documents`` view keeps
+    the check honest (wrong scale → row-count red, never a false pass).
+    This pins the distributed plumbing (UDF batching, row alignment) with
+    exact values instead of round 1's rows-only check."""
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pdf2doi_spark.operators.quality import compression_ratio
 
         return compression_ratio(_docs(spark, sf_dir))
 
-    return q, None
+    sql = None
+    try:
+        import duckdb
+
+        from pdf2doi_spark.operators.quality import zlib_ratio
+
+        rows = duckdb.connect().execute(
+            f"SELECT doc_id, text FROM read_parquet("
+            f"'{_ORACLE_SF_DIR}/documents.parquet') ORDER BY doc_id"
+        ).fetchall()
+        vals = ",".join(
+            f"({d},CAST({zlib_ratio(t)!r} AS DOUBLE))" for d, t in rows
+        )
+        sql = (
+            "SELECT d.doc_id, v.compression_ratio "
+            f"FROM documents d JOIN (VALUES {vals}) "
+            "v(doc_id, compression_ratio) ON v.doc_id = d.doc_id"
+        )
+    except Exception:
+        sql = None  # testdata absent: fall back to the rows-only check
+
+    return q, sql
 
 
 def _q_corpus_pipeline():
@@ -2096,6 +2172,7 @@ _BUILDERS = {
     "compression_ratio": _q_compression_ratio,
     "redact_pii": _q_redact_pii,
     "simhash": _q_simhash,
+    "simhash_near_dups": _q_simhash_near_dups,
     "cosine_topk": _q_cosine_topk,
     "ann_lsh_topk": _q_ann_lsh_topk,
     "ann_ivf_topk": _q_ann_ivf_topk,

@@ -68,35 +68,80 @@ def shard_column(n_shards: int, url_col: str = "url") -> F.Column:
     return F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_shards)).alias("shard")
 
 
-def merge_cache(spark: SparkSession, cache_path: str, results: DataFrame) -> DataFrame:
-    """Upsert found identifiers into the cache table (parquet stand-in for
-    Iceberg ``MERGE INTO``): new results win over prior rows on url. Only
-    rows NOT resolved from the cache/metadata fast path are written, mirroring
-    the reference's gate (main.py:98-100: no write-back when found by
-    method #1 or disabled)."""
+CACHE_N_SHARDS = 64
+
+
+def merge_cache(spark: SparkSession, cache_path: str, results: DataFrame,
+                n_shards: int = CACHE_N_SHARDS) -> DataFrame:
+    """Incremental upsert of found identifiers into the cache table (parquet
+    stand-in for Iceberg ``MERGE INTO``): new results win over prior rows
+    on url. Only rows NOT resolved from the cache/metadata fast path are
+    written, mirroring the reference's gate (main.py:98-100: no write-back
+    when found by method #1 or disabled).
+
+    Scale shape: the cache is stored partitioned by a deterministic url
+    shard (``pmod(xxhash64(url), n_shards)`` — the parquet analogue of
+    Iceberg's ``bucket(N, url)`` transform), and a merge touches ONLY the
+    shards the new urls hash into: old rows of touched shards are anti-joined
+    against the new urls and rewritten together with the new rows via
+    dynamic partition overwrite; untouched shard directories are never read
+    or rewritten. At a billions-row cache a merge therefore costs
+    O(new + touched-shard rows), not a full shuffle + full rewrite per run
+    (the round-1 design). Raise ``n_shards`` so a typical batch's url set
+    maps into a small shard subset.
+    """
     new = (
         results.filter(F.col("identifier").isNotNull())
         .filter(F.col("tier").isNull() | (F.col("tier") >= 0))
         .select("url", "identifier", "identifier_type", "method")
+        .dropDuplicates(["url"])
+        .withColumn("shard", shard_column(n_shards))
     )
-    if os.path.exists(cache_path):
-        old = spark.read.parquet(cache_path)
-        merged = (
-            new.withColumn("_pri", F.lit(0))
-            .unionByName(old.withColumn("_pri", F.lit(1)))
-            .withColumn(
-                "_rn",
-                F.row_number().over(Window.partitionBy("url").orderBy("_pri")),
-            )
-            .filter(F.col("_rn") == 1)
-            .drop("_pri", "_rn")
+
+    def _is_sharded(path: str) -> bool:
+        return any(e.startswith("shard=") for e in os.listdir(path))
+
+    if os.path.exists(cache_path) and not _is_sharded(cache_path):
+        # one-time migration of a flat (round-1 layout) cache
+        flat = spark.read.parquet(cache_path).withColumn(
+            "shard", shard_column(n_shards)
         )
+        flat.write.mode("overwrite").parquet(cache_path + ".mig")
+        spark.read.parquet(cache_path + ".mig").write.mode("overwrite") \
+            .partitionBy("shard").parquet(cache_path)
+        _rmtree(cache_path + ".mig")
+
+    if os.path.exists(cache_path):
+        # touched shards = the (small) distinct-shard set of the new batch;
+        # collected on the driver to build a partition-pruning filter for
+        # the old-side scan (bounded by n_shards values, never row data).
+        touched = sorted(
+            r["shard"] for r in new.select("shard").distinct().collect()
+        )
+        if not touched:
+            return spark.read.parquet(cache_path)
+        old_touched = spark.read.parquet(cache_path).filter(
+            F.col("shard").isin(touched)
+        ).select("url", "identifier", "identifier_type", "method", "shard")
+        survivors = old_touched.join(
+            new.select("url"), on="url", how="left_anti"
+        )
+        merged = survivors.unionByName(new)
     else:
-        merged = new.dropDuplicates(["url"])
+        merged = new
+
+    # Materialize before the overwrite (the merged plan reads the very
+    # partitions being replaced); dynamic mode rewrites ONLY the shard
+    # directories present in the batch.
     merged.write.mode("overwrite").parquet(cache_path + ".tmp")
-    out = merged.sparkSession.read.parquet(cache_path + ".tmp")
-    out.write.mode("overwrite").parquet(cache_path)
-    result = merged.sparkSession.read.parquet(cache_path)
+    (
+        spark.read.parquet(cache_path + ".tmp")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard")
+        .parquet(cache_path)
+    )
+    result = spark.read.parquet(cache_path)
     result.count()  # force before dropping the tmp source
     _rmtree(cache_path + ".tmp")
     return result

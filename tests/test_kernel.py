@@ -352,6 +352,36 @@ def test_charset_sniff_not_hijacked_and_boms():
     assert "<p>utf sixteen body text here</p>" in _decode(u16)
 
 
+def test_meta_declared_utf16_treated_as_utf8():
+    """WHATWG: a meta-declared UTF-16/32 cannot be true (the declaration
+    itself was readable as ASCII bytes) — decode as UTF-8, never mojibake.
+    Real UTF-16 is BOM'd and handled by the BOM branch."""
+    from pdf2doi_spark.core.webmeta import _decode
+
+    for decl in ("utf-16", "UTF-16LE", "utf-16be", "utf-32", "utf_16"):
+        page = f'<meta charset="{decl}"><p>doi: 10.1234/j.x.1 café</p>'.encode("utf-8")
+        out = _decode(page)
+        assert "10.1234/j.x.1" in out and "café" in out, decl
+
+
+def test_bom_utf16_page_survives_batch_prefilter(spark):
+    """A UTF-16LE page whose DOI is invisible to the ASCII byte scan must
+    still be a prefilter candidate: batch output == per-row kernel."""
+    from pdf2doi_spark.operators.extract import extract_identifiers
+
+    html16 = (
+        "﻿<html><head><title>t</title></head><body>"
+        "<p>The identifier is doi: 10.5555/utf16.doc.1 in the body text "
+        "of this sixteen-bit page, long enough to keep.</p></body></html>"
+    ).encode("utf-16-le")
+    pages = spark.createDataFrame(
+        [("https://u16.org/a", html16, None)], "url string, html binary, text string"
+    )
+    row = extract_identifiers(pages, with_text=True).collect()[0]
+    assert row["identifier"] == "10.5555/utf16.doc.1"
+    assert "10.5555/utf16.doc.1" in row["extracted_text"]
+
+
 # ----------------------------------------------------- cascade properties
 
 from hypothesis import given, settings, strategies as st

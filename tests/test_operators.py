@@ -246,6 +246,52 @@ def test_merge_cache_roundtrip(spark, tmp_path):
     assert c2.loc["u2"]["identifier"] == "10.2/x"
 
 
+def test_merge_cache_is_shard_incremental(spark, tmp_path):
+    """A merge whose new urls hash into a few shards must leave every other
+    shard directory untouched on disk (no full-cache rewrite)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from pdf2doi_spark.sources.io import merge_cache
+
+    cache_path = str(tmp_path / "cache.parquet")
+    schema = ("url string, identifier string, identifier_type string, "
+              "method string, tier int")
+    base = spark.createDataFrame(
+        [(f"https://h{i}.org/p", f"10.1/{i}", "DOI", "document_text", 1)
+         for i in range(400)], schema,
+    )
+    merge_cache(spark, cache_path, base, n_shards=16)
+    before = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{cache_path}/shard=*/*.parquet")
+    }
+    shards_before = {f.split("shard=")[1].split("/")[0] for f in before}
+    assert len(shards_before) > 4  # base batch spread across many shards
+
+    delta = spark.createDataFrame(
+        [("https://new-a.org/p", "10.9/a", "DOI", "filename", 0),
+         ("https://new-b.org/p", "10.9/b", "DOI", "filename", 0)], schema,
+    )
+    merged = merge_cache(spark, cache_path, delta, n_shards=16)
+    assert merged.count() == 402
+
+    touched = {
+        str(r["shard"]) for r in
+        delta.select(F.pmod(F.xxhash64("url"), F.lit(16)).alias("shard"))
+        .distinct().collect()
+    }
+    untouched = shards_before - touched
+    assert untouched, "fixture degenerate: every shard touched"
+    for f, mtime in before.items():
+        shard = f.split("shard=")[1].split("/")[0]
+        if shard in untouched:
+            assert os.path.exists(f) and os.stat(f).st_mtime_ns == mtime, (
+                f"untouched shard {shard} was rewritten: {f}"
+            )
+
+
 # ---------------------------------------------------------------- streaming
 
 def test_streaming_matches_batch(spark, sf_dir, tmp_path):
@@ -435,6 +481,47 @@ def test_connected_components_matches_union_find(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_star_components_match_min_label_and_handle_long_paths(spark):
+    """large-star/small-star == min-label propagation on mixed graphs, AND
+    converges on a diameter-60 path (where the O(diameter) min-label
+    variant's default 25-round budget raises, as documented)."""
+    import random
+
+    import pytest
+
+    from pdf2doi_spark.operators.dedup import (
+        connected_components, connected_components_star,
+    )
+
+    # equivalence on a seeded random graph + the union-find fixture shapes
+    rng = random.Random(7)
+    rand_edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(70)]
+    fixtures = [
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 13),
+         (20, 21), (5, 13), (40, 41)],
+        [(a, b) for a, b in rand_edges if a != b],
+    ]
+    for edges in fixtures:
+        df = spark.createDataFrame(edges, "a long, b long")
+        want = {(r["node"], r["component"])
+                for r in connected_components(df).collect()}
+        got = {(r["node"], r["component"])
+               for r in connected_components_star(df).collect()}
+        assert got == want
+
+    # a path graph of diameter 60: star variant converges in O(log d)
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "a long, b long"
+    )
+    star = connected_components_star(path).collect()
+    assert {r["component"] for r in star} == {0}
+    assert len(star) == 61
+    # ... while min-label's default budget raises rather than silently
+    # returning split components (the documented contract)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path, max_iterations=25)
 
 
 def test_ann_ivf_precomputed_cells_path(spark, sf_dir, tmp_path):
