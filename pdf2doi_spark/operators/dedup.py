@@ -128,16 +128,49 @@ def minhash_bands(df: DataFrame, text_col: str = "text", num_hashes: int = 12,
     )
 
 
+def minhash_bucket_profile(df: DataFrame, text_col: str = "text",
+                           num_hashes: int = 12, bands: int = 4) -> DataFrame:
+    """Bucket-size distribution of the LSH bands — the skew audit to run
+    BEFORE a crawl-scale candidate join: (bucket_size, n_buckets), largest
+    first. A handful of giant buckets (empty pages, shared boilerplate)
+    is what turns the band self-join quadratic."""
+    b = minhash_bands(df, text_col, num_hashes, bands)
+    return (
+        b.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .groupBy("bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .orderBy(F.desc("bucket_size"))
+    )
+
+
 def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
-                            num_hashes: int = 12, bands: int = 4) -> DataFrame:
+                            num_hashes: int = 12, bands: int = 4,
+                            max_bucket: int | None = None) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing at least one LSH band.
 
     The self-join shuffles on (band_idx, band_hash) only; no all-pairs
     comparison ever happens. At crawl scale, giant buckets (empty pages,
     boilerplate) are the skew risk — AQE skew-join is on in the session
-    defaults, and callers can pre-filter degenerate fingerprints.
+    defaults, and ``max_bucket`` is the explicit production guard: buckets
+    with more than ``max_bucket`` members are excluded from the join
+    outright (a bucket of B docs contributes B² pair rows — one 10⁷-doc
+    boilerplate bucket would emit 10¹⁴ pairs). This deliberately trades
+    recall on degenerate near-identical blobs (which exact dedup catches
+    far more cheaply first) for a bounded join; the cap is NOT silent —
+    audit what it would drop with ``minhash_bucket_profile`` before
+    choosing it. The size pre-agg shuffles on the same banded key the join
+    does, so it adds no new exchange pattern.
     """
     b = minhash_bands(df, text_col, num_hashes, bands)
+    if max_bucket is not None:
+        ok = (
+            b.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band_idx", "band_hash")
+        )
+        b = b.join(ok, ["band_idx", "band_hash"])
     left = b.alias("l")
     right = b.alias("r")
     return (

@@ -1344,6 +1344,112 @@ def _q_sketch_overlap():
     return q, sql
 
 
+def _q_dup_components_star():
+    """Same candidate graph and recursive-CTE oracle as ``dup_components``,
+    computed with the large-star/small-star alternating algorithm
+    (O(log diameter) rounds) — both variants must reach the identical
+    min-label fixpoint."""
+    base_q, sql = _q_dup_components()
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.dedup import connected_components_star
+
+        d = _docs(spark, sf_dir).select("doc_id")
+        ids = d.select(F.col("doc_id").alias("b"))
+        chain = (
+            d.filter(F.col("doc_id") % 5 < 2)
+            .select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
+            .join(ids, "b")
+        )
+        longr = (
+            d.filter(F.col("doc_id") % 11 == 0)
+            .select(F.col("doc_id").alias("a"), (F.col("doc_id") + 7).alias("b"))
+            .join(ids, "b")
+        )
+        return connected_components_star(chain.unionByName(longr))
+
+    return q, sql
+
+
+def _q_media_features():
+    """Multimodal plumbing under the driver gate: a media table derived
+    from documents (payload = utf-8 bytes of text, kind by doc_id%3) runs
+    the REAL batched mapInPandas feature extractor (multimodal.py:78);
+    the fake_decode features are md5-byte-derived, so the oracle rebuilds
+    them in SQL. Feature values are float32(byte/255); comparing them
+    through the lossless inverse transform round(val*255) pins every value
+    exactly without tripping the 3-of-256 byte cases where float32 and
+    double round differently at 6 dp."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        from pdf2doi_spark.operators.multimodal import extract_features
+
+        kind = (
+            F.when(F.col("doc_id") % 3 == 0, "image")
+            .when(F.col("doc_id") % 3 == 1, "audio")
+            .otherwise("video")
+        )
+        media = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("media_id"),
+            kind.alias("kind"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+        feats = extract_features(media)
+        return feats.select(
+            "media_id", "kind", "n_bytes",
+            F.posexplode("feature").alias("dim", "val"),
+        ).select(
+            "media_id", "kind", "n_bytes", "dim",
+            F.round(F.col("val").cast("double") * 255).cast("int").alias("feat_byte"),
+        ).orderBy("media_id", "dim")
+
+    sql = """
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                      ELSE 'video' END AS kind,
+                 md5(text) AS hx,  -- DuckDB md5(VARCHAR) hashes the utf-8 bytes = the payload
+                 CAST(octet_length(encode(text)) AS INT) AS n_bytes
+          FROM documents
+        )
+        SELECT media_id, kind, n_bytes, CAST(d.dim AS INT) AS dim,
+               ('0x' || substr(hx, 2 * d.dim + 1, 2))::INT AS feat_byte
+        FROM m, (SELECT unnest(range(0, 16)) AS dim) d
+        ORDER BY media_id, dim
+    """
+    return q, sql
+
+
+def _q_frame_samples():
+    """Video frame-sampling plan (multimodal.py:153): metadata-only native
+    expressions compute the per-video sample timestamps — exploded to
+    scalar rows for the driver compare."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.multimodal import frame_sample_plan
+
+        media = _docs(spark, sf_dir).filter(F.col("doc_id") % 3 == 2).select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("video").alias("kind"),
+            (F.lit(1000) + F.col("doc_id") * 10).cast("int").alias("duration_ms"),
+        )
+        plan = frame_sample_plan(media, every_ms=500)
+        return plan.select(
+            "media_id", F.posexplode("sample_ts_ms").alias("frame_idx", "ts_ms")
+        ).orderBy("media_id", "frame_idx")
+
+    sql = """
+        WITH v AS (
+          SELECT doc_id AS media_id, 1000 + doc_id * 10 AS duration_ms
+          FROM documents WHERE doc_id % 3 = 2
+        )
+        SELECT media_id, CAST(f.i AS INT) AS frame_idx,
+               CAST(f.i * 500 AS INT) AS ts_ms
+        FROM v, LATERAL (SELECT unnest(range(0, duration_ms // 500 + 1)) AS i) f
+        ORDER BY media_id, frame_idx
+    """
+    return q, sql
+
+
 def _q_dup_components():
     """Connected components over a deterministic near-dup candidate graph
     (chain edges doc→doc+1 where doc%5<2, long-range edges doc→doc+7 where
@@ -2160,6 +2266,9 @@ _BUILDERS = {
     "minhash_bands": _q_minhash_bands,
     "minhash_near_dups": _q_minhash_near_dups,
     "dup_components": _q_dup_components,
+    "dup_components_star": _q_dup_components_star,
+    "media_features": _q_media_features,
+    "frame_samples": _q_frame_samples,
     "sketch_overlap": _q_sketch_overlap,
     "near_dup_clusters": _q_near_dup_clusters,
     "line_dedup": _q_line_dedup,

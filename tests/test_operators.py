@@ -742,3 +742,33 @@ def test_grouped_profile_ignores_nulls(spark):
     out = grouped_percentile_profile(df, "g", "v").toPandas().set_index("g")
     assert out.loc["a"]["n_rows"] == 2 and out.loc["a"]["p50"] == 10.0
     assert out.loc["b"]["n_rows"] == 1 and pd.isna(out.loc["b"]["p50"])
+
+
+def test_minhash_bucket_cap_drops_only_giant_buckets(spark):
+    """max_bucket excludes pathological boilerplate buckets from the band
+    join but leaves ordinary near-dup pairs untouched; the profile audits
+    what the cap would drop."""
+    from pyspark.sql import functions as F
+
+    from pdf2doi_spark.operators.dedup import (
+        minhash_bucket_profile, minhash_candidate_pairs,
+    )
+
+    boiler = [(i, "cookie banner accept all cookies to continue browsing")
+              for i in range(40)]
+    pair = [
+        (100, "a unique longer document about spark shuffles and joins"),
+        (101, "a unique longer document about spark shuffles and joins"),
+    ]
+    df = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+
+    prof = {r["bucket_size"]: r["n_buckets"]
+            for r in minhash_bucket_profile(df).collect()}
+    assert 40 in prof  # the giant bucket is visible to the audit
+
+    uncapped = minhash_candidate_pairs(df)
+    assert uncapped.filter(F.col("doc_a") < 100).count() == 40 * 39 // 2
+
+    capped = minhash_candidate_pairs(df, max_bucket=10)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert got == {(100, 101)}  # boilerplate pairs gone, real pair kept

@@ -194,3 +194,28 @@ def test_salted_repartition_flattens_zipf_skew(spark, sf_dir):
     assert max(sizes_salted) < 2 * even, sizes_salted
     # the domain-keyed layout is demonstrably worse than the salted one
     assert max(sizes_domain) > 1.5 * max(sizes_salted), (sizes_domain, sizes_salted)
+
+
+def test_embedding_near_dups_join_is_bucketed_not_allpairs(spark):
+    """The near-dup candidate join must be an equi-join on the LSH
+    signature (shuffle on the bucket key) — never a cartesian /
+    nested-loop all-pairs plan."""
+    from pdf2doi_spark.queries import _BUILDERS
+
+    q = _BUILDERS["embedding_near_dups"]()[0]
+    plan = _plan(q(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "lsh_sig" in plan  # the equi-join key is the signature bucket
+
+
+def test_simhash_near_dups_join_is_banded(spark):
+    """SimHash pair generation joins on (band_idx, chunk) — banded key,
+    not all-pairs."""
+    from pdf2doi_spark.queries import _BUILDERS
+
+    q = _BUILDERS["simhash_near_dups"]()[0]
+    plan = _plan(q(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "band_idx" in plan and "chunk" in plan
