@@ -42,6 +42,8 @@ HEADLINE = [
     "standardise_doi",
     "exact_dup_groups",
     "minhash_bands",
+    "simhash_near_dups",
+    "embedding_near_dups",
     "cosine_topk",
     "ann_ivf_topk",
     "length_percentiles",
@@ -50,7 +52,14 @@ HEADLINE = [
     "canonical_urls",
     "redact_pii",
     "line_dedup",
+    "media_features",
+    "sessionize",
+    "funnel",
+    "corpus_pipeline",
+    "metrics_cube",
     "domain_counts_salted",
+    "tpch_q1",
+    "tpch_q3",
 ]
 
 

@@ -127,6 +127,11 @@ def merge_cache(spark: SparkSession, cache_path: str, results: DataFrame,
             new.select("url"), on="url", how="left_anti"
         )
         merged = survivors.unionByName(new)
+    elif new.isEmpty():
+        # no prior cache AND nothing to write: materializing an empty
+        # partitioned parquet leaves a schema-less directory that the
+        # read-back would reject — return the empty batch as-is instead
+        return new
     else:
         merged = new
 

@@ -772,3 +772,42 @@ def test_minhash_bucket_cap_drops_only_giant_buckets(spark):
     capped = minhash_candidate_pairs(df, max_bucket=10)
     got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
     assert got == {(100, 101)}  # boilerplate pairs gone, real pair kept
+
+
+def test_merge_cache_empty_batch_no_prior_cache(spark, tmp_path):
+    """All-miss first run: no crash, no schema-less parquet dir, empty
+    result."""
+    from pdf2doi_spark.sources.io import merge_cache
+
+    cache_path = str(tmp_path / "cache.parquet")
+    empty = spark.createDataFrame(
+        [], "url string, identifier string, identifier_type string, "
+            "method string, tier int",
+    )
+    out = merge_cache(spark, cache_path, empty)
+    assert out.count() == 0
+    assert not os.path.exists(cache_path)  # nothing was materialized
+
+
+def test_multi_megabyte_page_survives_kernel(spark):
+    """A pathological multi-MB page must flow through the fused kernel
+    without failing the task (the Arrow byte cap slices fat batches; the
+    kernel itself is O(len) per row). The embedded DOI must still be
+    found."""
+    from pdf2doi_spark.operators.extract import extract_identifiers
+
+    filler = ("<p>" + "lorem ipsum dolor sit amet " * 40 + "</p>") * 5000
+    big = (
+        "<html><head><title>big</title></head><body>" + filler +
+        "<p>the identifier doi: 10.7777/huge.page.1 appears once here "
+        "in a sea of boilerplate text</p></body></html>"
+    ).encode()
+    assert len(big) > 5_000_000
+    pages = spark.createDataFrame(
+        [(f"https://big.org/{i}", bytearray(big), None) for i in range(8)],
+        "url string, html binary, text string",
+    )
+    rows = extract_identifiers(pages, with_text=True).collect()
+    assert len(rows) == 8
+    assert all(r["identifier"] == "10.7777/huge.page.1" for r in rows)
+    assert all("10.7777/huge.page.1" in r["extracted_text"] for r in rows)
