@@ -102,16 +102,20 @@ def main() -> None:
             # plan), and the materialized copy also removes the read-your-
             # own-input race of merging into a cache the plan still reads
             # (.cache() is best-effort, never a correctness barrier).
+            import shutil
             import tempfile
 
             from pdf2doi_spark.sources.io import merge_cache
 
-            snap = os.path.join(tempfile.mkdtemp(prefix="pdf2doi_run_"),
-                                "results.parquet")
+            snap_dir = tempfile.mkdtemp(prefix="pdf2doi_run_")
+            snap = os.path.join(snap_dir, "results.parquet")
             results.write.mode("overwrite").parquet(snap)
             results = spark.read.parquet(snap)
             lines = [r["report_line"] for r in format_report(results).collect()]
             merge_cache(spark, args.cache, results)
+            # merge_cache materialized its own copy; the snapshot would
+            # otherwise leak a full results table into /tmp per run
+            shutil.rmtree(snap_dir, ignore_errors=True)
         else:
             lines = [r["report_line"] for r in format_report(results).collect()]
         for line in lines:

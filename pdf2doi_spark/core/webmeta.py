@@ -130,17 +130,24 @@ def _decode(html) -> str:
         if raw.startswith(bom):
             return raw[len(bom):].decode(codec, errors="replace")
     cs = sniff_charset(raw)
-    if cs and cs.replace("_", "-") in (
-        "utf-16", "utf-16le", "utf-16be", "utf-32", "utf-32le", "utf-32be",
-        "utf16", "utf32", "unicode",
-    ):
+    if cs:
         # WHATWG: a meta-declared UTF-16/32 is a lie by construction — the
         # declaration itself was readable in ASCII-compatible bytes, which
         # real UTF-16/32 content never is (those are caught by the BOM
         # branch above). Decoding ASCII-superset bytes as UTF-16 yields
         # mojibake and loses identifiers; the spec mandates treating it as
-        # UTF-8.
-        cs = None
+        # UTF-8. Resolve ALIASES through the codec registry (u16, utf_16_le,
+        # unicodebigunmarked, ... all canonicalize to utf_16*) — a fixed
+        # label list misses them.
+        import codecs
+
+        try:
+            canonical = codecs.lookup(cs).name
+        except LookupError:
+            canonical = cs
+        if canonical.replace("_", "-").startswith(("utf-16", "utf-32")) or \
+                cs in ("unicode",):
+            cs = None
     if cs and cs not in ("utf-8", "utf8"):
         try:
             return raw.decode(cs, errors="replace")

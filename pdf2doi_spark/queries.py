@@ -993,7 +993,14 @@ def _q_redact_pii():
     return q, sql
 
 
-_ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's fixed oracle scale
+import os as _os
+
+# The driver's oracle scale is fixed at sf0.01; tools/drivercheck.py can
+# point elsewhere — the precomputed-values oracle must follow it or every
+# other scale becomes a guaranteed false red.
+_ORACLE_SF_DIR = _os.environ.get(
+    "SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01"
+)
 
 
 def _q_compression_ratio():
@@ -1540,18 +1547,17 @@ def _q_ann_lsh_topk():
                  CASE WHEN ('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 2))::INT & 1 = 1
                       THEN 1.0 ELSE -1.0 END AS s
           FROM (SELECT unnest(range(0, 6)) AS p), (SELECT unnest(range(0, 64)) AS d)
-        ), vecs AS (
-          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
-                 CAST(unnest(embedding) AS DOUBLE) AS x
-          FROM embeddings
-        ), sigs AS (
-          SELECT v.vec_id, pl.p,
-                 CASE WHEN sum(v.x * pl.s) >= 0 THEN '1' ELSE '0' END AS bit
-          FROM vecs v JOIN planes pl ON v.d = pl.d
-          GROUP BY v.vec_id, pl.p
+        ), pl AS (
+          -- ordered plane vectors -> ORDERED list_dot_product projection,
+          -- matching Spark's left-to-right fold (see embedding_near_dups)
+          SELECT p, list(s ORDER BY d) AS sv FROM planes GROUP BY p
         ), sig AS (
-          SELECT vec_id, string_agg(bit, '' ORDER BY p) AS lsh_sig
-          FROM sigs GROUP BY vec_id
+          SELECT e.vec_id,
+                 string_agg(CASE WHEN list_dot_product(
+                                     list_transform(e.embedding, x -> CAST(x AS DOUBLE)), pl.sv) >= 0
+                                 THEN '1' ELSE '0' END, '' ORDER BY pl.p) AS lsh_sig
+          FROM embeddings e, pl
+          GROUP BY e.vec_id
         ), q AS (
           SELECT s.lsh_sig AS qsig,
                  list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS qv
@@ -1822,17 +1828,18 @@ def _q_embedding_near_dups():
                  CASE WHEN ('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 2))::INT & 1 = 1
                       THEN 1.0 ELSE -1.0 END AS s
           FROM (SELECT unnest(range(0, {N_PLANES})) AS p), (SELECT unnest(range(0, 64)) AS d)
-        ), vecs AS (
-          SELECT vec_id, generate_subscripts(v, 1) - 1 AS d, unnest(v) AS x
-          FROM aug
-        ), sigs AS (
-          SELECT v.vec_id, pl.p,
-                 CASE WHEN sum(v.x * pl.s) >= 0 THEN '1' ELSE '0' END AS bit
-          FROM vecs v JOIN planes pl ON v.d = pl.d
-          GROUP BY v.vec_id, pl.p
+        ), pl AS (
+          -- ordered plane vectors: the projection below is an ORDERED
+          -- list_dot_product, matching Spark's left-to-right fold exactly
+          -- (an unordered GROUP BY sum could land a near-zero projection on
+          -- the other side of >= 0 and flip a signature bit)
+          SELECT p, list(s ORDER BY d) AS sv FROM planes GROUP BY p
         ), sig AS (
-          SELECT vec_id, string_agg(bit, '' ORDER BY p) AS lsh_sig
-          FROM sigs GROUP BY vec_id
+          SELECT a.vec_id,
+                 string_agg(CASE WHEN list_dot_product(a.v, pl.sv) >= 0
+                                 THEN '1' ELSE '0' END, '' ORDER BY pl.p) AS lsh_sig
+          FROM aug a, pl
+          GROUP BY a.vec_id
         ), scored AS (
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                  round(list_dot_product(a.v, b.v)
@@ -1859,12 +1866,14 @@ def _q_sessionize():
 
         e = spark.read.parquet(f"{sf_dir}/events.parquet")
         w = Window.partitionBy("user_id").orderBy("ts")
-        # Gap in MICROSECONDS: ts is TIMESTAMP_NTZ with fractional seconds,
-        # and a whole-seconds cast truncates — a gap in (1800, 1801) would
-        # split sessions differently from a fractional-second engine. The
-        # tz shift of ntz→timestamp cancels in the difference.
-        us = F.unix_micros(F.col("ts").cast("timestamp"))
-        gap = us - F.lag(us).over(w)
+        # Gap in MICROSECONDS directly on the TIMESTAMP_NTZ values:
+        # fractional-second exact (a whole-seconds cast truncates — a gap in
+        # (1800, 1801) would split sessions differently from a
+        # fractional-second engine) AND timezone-free (routing through
+        # TIMESTAMP would absorb/add an hour across a DST transition on a
+        # non-UTC session zone, silently diverging from the oracle's
+        # tz-free epoch_us).
+        gap = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
         marked = e.select(
             "user_id", "ts",
             F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0).alias("is_new"),

@@ -60,6 +60,10 @@ def build_session(master: str | None = None, app_name: str = "pdf2doi_spark",
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Pin the session zone: timestamp<->epoch conversions must not
+        # depend on the host JVM's default zone (DST transitions would
+        # silently shift gaps/windows relative to tz-free engines).
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

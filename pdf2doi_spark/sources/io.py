@@ -87,9 +87,20 @@ def merge_cache(spark: SparkSession, cache_path: str, results: DataFrame,
     dynamic partition overwrite; untouched shard directories are never read
     or rewritten. At a billions-row cache a merge therefore costs
     O(new + touched-shard rows), not a full shuffle + full rewrite per run
-    (the round-1 design). Raise ``n_shards`` so a typical batch's url set
-    maps into a small shard subset.
+    (the round-1 design).
+
+    ``n_shards`` applies when the cache is CREATED; an existing cache's
+    stored shard count (pinned by a ``_pdf2doi_n_shards`` marker) always
+    wins. Recomputing shards under a different modulus would anti-join
+    against the wrong shard set, leaving a url's stale row alive under its
+    old shard id — two rows per url would then fan out every matching page
+    in the downstream broadcast join.
     """
+    marker = os.path.join(cache_path, "_pdf2doi_n_shards")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            n_shards = int(fh.read().strip())
+
     new = (
         results.filter(F.col("identifier").isNotNull())
         .filter(F.col("tier").isNull() | (F.col("tier") >= 0))
@@ -149,6 +160,8 @@ def merge_cache(spark: SparkSession, cache_path: str, results: DataFrame,
     result = spark.read.parquet(cache_path)
     result.count()  # force before dropping the tmp source
     _rmtree(cache_path + ".tmp")
+    with open(marker, "w") as fh:  # pin the modulus for every later merge
+        fh.write(str(n_shards))
     return result
 
 

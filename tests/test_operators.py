@@ -811,3 +811,28 @@ def test_multi_megabyte_page_survives_kernel(spark):
     assert len(rows) == 8
     assert all(r["identifier"] == "10.7777/huge.page.1" for r in rows)
     assert all("10.7777/huge.page.1" in r["extracted_text"] for r in rows)
+
+
+def test_merge_cache_pins_shard_count(spark, tmp_path):
+    """A later merge passing a DIFFERENT n_shards must not corrupt the
+    cache: the stored modulus wins, so a url can never end up with a stale
+    row under its old shard id plus a new row under a different one."""
+    from pdf2doi_spark.sources.io import merge_cache
+
+    cache_path = str(tmp_path / "cache.parquet")
+    schema = ("url string, identifier string, identifier_type string, "
+              "method string, tier int")
+    base = spark.createDataFrame(
+        [(f"https://h{i}.org/p", f"10.1/{i}", "DOI", "document_text", 1)
+         for i in range(50)], schema,
+    )
+    merge_cache(spark, cache_path, base, n_shards=64)
+
+    update = spark.createDataFrame(
+        [("https://h3.org/p", "10.9/NEW", "DOI", "filename", 0)], schema,
+    )
+    merged = merge_cache(spark, cache_path, update, n_shards=16)  # wrong arg
+    rows = merged.filter(F.col("url") == "https://h3.org/p").collect()
+    assert len(rows) == 1, rows  # exactly one row per url
+    assert rows[0]["identifier"] == "10.9/NEW"
+    assert merged.count() == 50
