@@ -2051,8 +2051,11 @@ def _q_funnel():
     (three min-aggregations + user-key joins; each stage's timestamp
     anchors the next, so out-of-order events never count)."""
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # ts stays TIMESTAMP_NTZ throughout: min/compare work natively and
+        # a TIMESTAMP cast would drag the session zone (and its DST edge
+        # cases) into an otherwise tz-free query
         e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-            "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+            "user_id", "event_type", "ts"
         )
         v = (
             e.filter(F.col("event_type") == "view")

@@ -358,7 +358,11 @@ def test_meta_declared_utf16_treated_as_utf8():
     Real UTF-16 is BOM'd and handled by the BOM branch."""
     from pdf2doi_spark.core.webmeta import _decode
 
-    for decl in ("utf-16", "UTF-16LE", "utf-16be", "utf-32", "utf_16"):
+    # includes registry ALIASES (u16, utf_16_le, unicodebigunmarked) — a
+    # fixed label list missed these and decoded ASCII bytes as real UTF-16
+    for decl in ("utf-16", "UTF-16LE", "utf-16be", "utf-32", "utf_16",
+                 "u16", "utf_16_le", "unicodebigunmarked", "utf32",
+                 "unicode"):
         page = f'<meta charset="{decl}"><p>doi: 10.1234/j.x.1 café</p>'.encode("utf-8")
         out = _decode(page)
         assert "10.1234/j.x.1" in out and "café" in out, decl
