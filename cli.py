@@ -37,6 +37,16 @@ def main() -> None:
                     help="save report (fixed-width rows) to this file")
     ap.add_argument("-no_arxiv2doi", action="store_true",
                     help="do not replace arXiv IDs with synthetic DOIs")
+    ap.add_argument("-v", "--verbose", action="store_true",
+                    help="print extraction-stage counters (docs seen, "
+                         "prefilter candidates, hits) after the run "
+                         "(reference -v flag, main.py:253)")
+    ap.add_argument("-nostore", action="store_true",
+                    help="do not write found identifiers back into the "
+                         "cache table (reference -nostore flag, "
+                         "main.py:265: disable identifier storage in the "
+                         "document metadata); the cache is still USED as "
+                         "the method-#1 fast path when --cache is given")
     ap.add_argument("-nwv", action="store_true", help="(no-op: always offline)")
     ap.add_argument("-nws", action="store_true", help="(no-op: always offline)")
     ap.add_argument("-id", dest="set_id", default=None, metavar="IDENTIFIER",
@@ -91,11 +101,16 @@ def main() -> None:
         cache_df = None
         if args.cache and os.path.exists(args.cache):
             cache_df = spark.read.parquet(args.cache)
+        counters = None
+        if args.verbose:
+            from pdf2doi_spark.operators.extract import ExtractionCounters
+
+            counters = ExtractionCounters(spark.sparkContext)
         results = extract_identifiers(
             pages, replace_arxiv=not args.no_arxiv2doi, with_text=False,
-            cache=cache_df,
+            cache=cache_df, counters=counters,
         )
-        if args.cache:
+        if args.cache and not args.nostore:
             # Materialize the extraction ONCE: both the report and the cache
             # merge re-read the parquet instead of re-running the kernel
             # (merge_cache would otherwise recompute the full mapInPandas
@@ -124,6 +139,9 @@ def main() -> None:
             with open(args.save, "w") as fh:
                 fh.write("\n".join(lines) + "\n")
             print(f"saved {len(lines)} rows -> {args.save}")
+        if counters is not None:
+            for k, v in counters.as_dict().items():
+                print(f"{k}: {v}")
     finally:
         spark.stop()
 
