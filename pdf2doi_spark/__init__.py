@@ -11,9 +11,11 @@ the pure-Python core in ``pdf2doi_spark.core``.
 
 __version__ = "0.1.0"
 
+from pdf2doi_spark.config import config  # noqa: F401  (reference surface)
+
 
 def pdf2doi(target: str, spark=None, cache: str = None,
-            replace_arxiv: bool = True, with_text: bool = True):
+            replace_arxiv: bool = None, with_text: bool = True):
     """Library entry mirroring the reference's ``pdf2doi.pdf2doi(target)``
     (EP2, reference ``main.py:12``): point it at a corpus, get back the
     per-document identifier results — here as a DataFrame instead of a
@@ -39,6 +41,8 @@ def pdf2doi(target: str, spark=None, cache: str = None,
     from pdf2doi_spark.session import build_session
     from pdf2doi_spark.sources.io import resolve_pages_source
 
+    if replace_arxiv is None:  # fall back to the reference-parity registry
+        replace_arxiv = bool(config.get("replace_arxivID_by_DOI_when_available"))
     if spark is None:
         spark = build_session()
     pages = resolve_pages_source(spark, target)

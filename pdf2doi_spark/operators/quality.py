@@ -143,10 +143,16 @@ def winnowing_sketch(df: DataFrame, text_col: str = "text", n: int = 3,
     return df.select(F.col("doc_id"), sketch.alias("sketch"))
 
 
-def ascii_scrub(df: DataFrame, text_col: str = "text", n_chars: int = 1000) -> DataFrame:
+def ascii_scrub(df: DataFrame, text_col: str = "text", n_chars: int = None) -> DataFrame:
     """Reference F11 (finders.py:844-852): non-ASCII → space, fold
     newline/CR/tab to space, truncate to the first ``n_chars`` characters —
-    fully native (regexp_replace + translate + substring)."""
+    fully native (regexp_replace + translate + substring). ``n_chars``
+    defaults to the reference's ``N_characters_in_pdf`` setting (1000),
+    overridable via ``pdf2doi_spark.config``."""
+    if n_chars is None:
+        from pdf2doi_spark.config import config
+
+        n_chars = int(config.get("N_characters_in_pdf"))
     scrubbed = F.regexp_replace(F.col(text_col), r"[^\x00-\x7f]", " ")
     folded = F.translate(scrubbed, "\n\r\t", "   ")
     return df.select(

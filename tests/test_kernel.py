@@ -455,3 +455,39 @@ def test_meta_hit_always_wins(doi, units):
     res = extract_one("https://h.org/x", [("citation_doi", doi)], list(units))
     assert res["method"] == "document_infos"
     assert res["identifier"] == standardise_doi(doi)
+
+
+def test_config_registry_parity():
+    """Reference config surface (config.py:38-57): get/set/update_params
+    with the same keys and defaults; offline-meaningful keys feed engine
+    defaults (N_characters_in_pdf -> ascii_scrub truncation,
+    replace_arxivID_by_DOI_when_available -> pdf2doi() V4 default)."""
+    from pdf2doi_spark.config import config
+
+    try:
+        assert config.get("verbose") is True
+        assert config.get("N_characters_in_pdf") == 1000
+        assert config.get("replace_arxivID_by_DOI_when_available") is True
+        config.set("N_characters_in_pdf", 50)
+        assert config.get("N_characters_in_pdf") == 50
+        config.update_params({"verbose": False})
+        assert config.get("verbose") is False
+        import pytest as _pytest
+        with _pytest.raises(KeyError):
+            config.set("no_such_key", 1)
+    finally:
+        config.reset()
+    assert config.get("verbose") is True
+
+
+def test_ascii_scrub_honors_config_truncation(spark):
+    from pdf2doi_spark.config import config
+    from pdf2doi_spark.operators.quality import ascii_scrub
+
+    df = spark.createDataFrame([(1, "y" * 500)], "doc_id long, text string")
+    try:
+        config.set("N_characters_in_pdf", 100)
+        out = ascii_scrub(df).collect()[0]["scrubbed_text"]
+        assert len(out) == 100
+    finally:
+        config.reset()
