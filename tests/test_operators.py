@@ -836,3 +836,33 @@ def test_merge_cache_pins_shard_count(spark, tmp_path):
     assert len(rows) == 1, rows  # exactly one row per url
     assert rows[0]["identifier"] == "10.9/NEW"
     assert merged.count() == 50
+
+
+def test_merge_cache_sequence_matches_dict_model(spark, tmp_path):
+    """A sequence of merges must equal the trivial last-write-wins dict
+    model, regardless of batch composition (updates, inserts, overlaps,
+    in-batch url duplicates, null-identifier rows filtered out)."""
+    from pdf2doi_spark.sources.io import merge_cache
+
+    cache_path = str(tmp_path / "cache.parquet")
+    schema = ("url string, identifier string, identifier_type string, "
+              "method string, tier int")
+    batches = [
+        [(f"u{i}", f"10.1/{i}", "DOI", "document_text", 1) for i in range(20)],
+        [("u3", "10.2/3", "DOI", "filename", 0),
+         ("u3", "10.2/3", "DOI", "filename", 0),      # in-batch dup
+         ("u99", "10.2/99", "DOI", "document_text", 2),
+         ("u5", None, None, None, None)],             # miss row: filtered
+        [(f"u{i}", f"10.3/{i}", "DOI", "document_infos", 1)
+         for i in range(15, 25)],
+    ]
+    model = {}
+    for rows in batches:
+        for url, ident, *_ in rows:
+            if ident is not None:
+                model[url] = ident  # dropDuplicates keeps one of equal rows
+        merged = merge_cache(
+            spark, cache_path, spark.createDataFrame(rows, schema), n_shards=8
+        )
+        got = {r["url"]: r["identifier"] for r in merged.collect()}
+        assert got == model, (got, model)
