@@ -32,8 +32,9 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 # ---------------------------------------------------------------- helpers
 
-def _norm_text(col: Column) -> Column:
-    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+# ONE normalization definition for the whole fingerprint contract —
+# see quality.norm_text.
+from pdf2doi_spark.operators.quality import norm_text as _norm_text
 
 
 def has_min_words(col: Column, n: int = 3) -> Column:
@@ -69,9 +70,16 @@ def word_shingles(col: Column, n: int = 3) -> Column:
 # ---------------------------------------------------------------- exact
 
 def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Exact-duplicate groups: fingerprint → count + canonical keeper."""
+    """Exact-duplicate groups: fingerprint → count + canonical keeper.
+
+    NULL text means *content not materialized* (raw-file/WARC ingestion
+    before the main-content stage), NOT identical content — its NULL
+    fingerprint is excluded, otherwise groupBy would collapse every
+    null-text document into one bogus duplicate cluster. (EMPTY text is
+    different: all empty docs genuinely share one fingerprint.)"""
     return (
         df.select(F.col("doc_id"), F.md5(_norm_text(F.col(text_col))).alias("fp"))
+        .filter(F.col("fp").isNotNull())
         .groupBy("fp")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -83,10 +91,16 @@ def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def distinct_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Survivor set after exact dedup (keep min doc_id per fingerprint)."""
+    """Survivor set after exact dedup (keep min doc_id per fingerprint).
+    Null-text documents are not comparable, so every one survives (same
+    NULL-vs-empty distinction as exact_duplicates)."""
     fp = df.select(F.col("doc_id"), F.md5(_norm_text(F.col(text_col))).alias("fp"))
-    keepers = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    return keepers.select("doc_id", "fp")
+    keepers = (
+        fp.filter(F.col("fp").isNotNull())
+        .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "fp")
+    )
+    return keepers.unionByName(fp.filter(F.col("fp").isNull()))
 
 
 # ---------------------------------------------------------------- minhash-lsh
@@ -110,6 +124,12 @@ def minhash_bands(df: DataFrame, text_col: str = "text", num_hashes: int = 12,
                   bands: int = 4) -> DataFrame:
     """doc_id × band rows: (doc_id, band_idx, band_hash). rows = docs × b —
     bounded fan-out, each band hash is 32 bytes."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands "
+            f"({bands}) — a remainder would silently compute-but-ignore "
+            f"the trailing hashes and change the effective b*r recall curve"
+        )
     rows_per_band = num_hashes // bands
     sh = df.filter(has_min_words(F.col(text_col))).select(
         F.col("doc_id"), word_shingles(F.col(text_col)).alias("sh")
@@ -201,9 +221,13 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
         .select(
             "doc_a",
             "doc_b",
-            (
+            # two empty shingle sets -> 0/0, which ANSI mode turns into a
+            # job-aborting DIVIDE_BY_ZERO: an undefined similarity is NULL
+            # (dropped by the threshold filter), never a task failure
+            F.when(
+                F.size(F.array_union("sh_a", "sh_b")) > 0,
                 F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
             ).alias("jaccard"),
         )
     )

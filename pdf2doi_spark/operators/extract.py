@@ -66,7 +66,8 @@ _ARXIV_RE_B = _re.compile(ARXIV_GATE_PATTERN.encode("ascii"))
 
 
 def _batch_extract(batch: pd.DataFrame, replace_arxiv: bool,
-                   with_text: bool, counters=None) -> pd.DataFrame:
+                   with_text: bool, counters=None,
+                   passthrough=()) -> pd.DataFrame:
     n = len(batch)
     url = batch["url"]
     html = batch["html"]
@@ -113,6 +114,23 @@ def _batch_extract(batch: pd.DataFrame, replace_arxiv: bool,
             todo = ~candidate
             if not todo.any():
                 break
+    if todo.any():
+        # the kernel's filename stage percent-DECODES the url before its
+        # regex pass (core/kernel.py filename_candidates), so a marker can
+        # hide inside an escape ('10%2E...'); decode-and-rescan the few
+        # still-unmarked urls that contain '%' — without this the prefilter
+        # is not a necessary condition and batch output drifts from the
+        # per-row kernel oracle
+        from urllib.parse import unquote
+
+        esc = todo & url.fillna("").str.contains("%", regex=False)
+        if esc.any():
+            dec = url[esc].map(unquote)
+            candidate.loc[esc] = (
+                dec.str.contains(_DOI_MARK, regex=False)
+                | dec.str.contains(_ARXIV_RE, regex=True)
+            )
+            todo = ~candidate
     if todo.any():  # raw-bytes scan of html, only where still unmarked
         candidate.loc[todo] = html[todo].map(_has_mark_bytes)
     if cached is not None:
@@ -186,7 +204,10 @@ def _batch_extract(batch: pd.DataFrame, replace_arxiv: bool,
         out["tier"][i] = res["tier"]
         out["validation_info"][i] = res["validation_info"]
 
-    return pd.DataFrame(out)
+    result = pd.DataFrame(out)
+    for col in passthrough:  # carried columns ride the same Arrow batch
+        result[col] = batch[col].to_numpy()
+    return result
 
 
 class ExtractionCounters:
@@ -210,7 +231,8 @@ class ExtractionCounters:
 def extract_identifiers(pages: DataFrame, replace_arxiv: bool = True,
                         with_text: bool = True,
                         cache: Optional[DataFrame] = None,
-                        counters: Optional[ExtractionCounters] = None) -> DataFrame:
+                        counters: Optional[ExtractionCounters] = None,
+                        passthrough: Optional[list] = None) -> DataFrame:
     """pages(url, html, text, ...) → result DataFrame (one fused kernel).
 
     ``cache`` is an optional small table ``(url, identifier)`` — the Spark
@@ -220,8 +242,14 @@ def extract_identifiers(pages: DataFrame, replace_arxiv: bool = True,
 
     ``counters`` (optional ExtractionCounters) adds per-batch accumulator
     increments inside the kernel.
+
+    ``passthrough``: extra input columns carried verbatim into the output
+    (appended after the result columns). At scale this replaces a
+    results⋈pages re-join on url — which fans out quadratically on
+    recrawled urls and, in streaming, accumulates unbounded join state.
     """
-    cols = ["url", "html", "text"]
+    passthrough = list(passthrough or [])
+    cols = ["url", "html", "text"] + passthrough
     df = pages.select(*cols)
     if cache is not None:
         cache_cols = [F.col("url"), F.col("identifier").alias("cached_identifier")]
@@ -231,21 +259,31 @@ def extract_identifiers(pages: DataFrame, replace_arxiv: bool = True,
             )
         df = df.join(F.broadcast(cache.select(*cache_cols)), on="url", how="left")
 
+    schema = RESULT_SCHEMA
+    for name in passthrough:
+        schema += f", {name} {pages.schema[name].dataType.simpleString()}"
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             if len(b):
-                out = _batch_extract(b, replace_arxiv, with_text, counters)
+                out = _batch_extract(b, replace_arxiv, with_text, counters,
+                                     passthrough=passthrough)
                 if counters is not None:
                     counters.n_hits.add(int(out["identifier"].notna().sum()))
                 yield out
 
-    return df.mapInPandas(run, schema=RESULT_SCHEMA)
+    return df.mapInPandas(run, schema=schema)
 
 
 def domain_of(url_col: F.Column) -> F.Column:
     """Host part of a URL — the natural (and Zipf-skewed) grouping key of a
-    crawl."""
-    return F.regexp_extract(url_col, r"^[a-z]+://([^/]+)/", 1)
+    crawl. Scheme-case-insensitive and path-optional ('https://example.com'
+    with no trailing slash is extremely common in real crawls; requiring
+    '/' after the host lumped all such pages into one bogus ''-domain
+    bucket). Host is lowercased — the grouping key must be case-stable."""
+    return F.lower(
+        F.regexp_extract(url_col, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1)
+    )
 
 
 def repartition_salted(df: DataFrame, num_partitions: int,

@@ -31,6 +31,15 @@ PUNCT_CLASS = r"[\.,;:!\?\)\(]"
 BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
 
 
+def norm_text(col: Column) -> Column:
+    """THE text normalization of the dedup family (lowercase, trim,
+    whitespace-collapse). One definition — ``md5(norm_text(text))`` is the
+    cross-engine fingerprint contract shared by quality.fingerprint, the
+    winnowing sketch, and every operator in ``dedup.py``; a second copy
+    drifting would silently desync fingerprint-keyed joins."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokenisation (empty string → empty array)."""
     t = F.trim(col)
@@ -120,8 +129,9 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 of the whitespace-normalised
     lowercased text (md5 chosen because it is bit-identical across Spark,
     DuckDB, and Python — the cross-engine contract for dedup joins)."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    return df.select(F.col("doc_id"), F.md5(norm).alias("fp"))
+    return df.select(
+        F.col("doc_id"), F.md5(norm_text(F.col(text_col))).alias("fp")
+    )
 
 
 def winnowing_sketch(df: DataFrame, text_col: str = "text", n: int = 3,
@@ -131,7 +141,7 @@ def winnowing_sketch(df: DataFrame, text_col: str = "text", n: int = 3,
     hashes as the document's sketch. Two documents sharing most content
     share most of their sketch, so sketch overlap is a cheap containment
     signal. md5 keeps it cross-engine; all native, no shuffle."""
-    words = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    words = F.split(norm_text(F.col(text_col)), " ")
     m = F.size(words) - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(m - 1, F.lit(-1))),

@@ -42,6 +42,17 @@ def _norm(a: Column) -> Column:
     )
 
 
+def _cosine6(a: Column, b: Column) -> Column:
+    """Cosine rounded to 6 dp, NULL when either side has zero norm — under
+    Spark 4's default ANSI mode an unguarded 0-denominator division THROWS
+    and aborts the job, so one padding/failed-embedding row must map to
+    NULL (ranked last / filtered out), never to a task failure."""
+    na, nb = _norm(a), _norm(b)
+    return F.when(
+        (na > 0) & (nb > 0), F.round(_dot(a, b) / (na * nb), 6)
+    )
+
+
 def cosine_topk(df: DataFrame, query: Sequence[float], k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k against a constant query vector.
@@ -52,11 +63,9 @@ def cosine_topk(df: DataFrame, query: Sequence[float], k: int = 10,
     """
     q = F.array(*[F.lit(float(x)) for x in query])
     scored = df.select(
-        F.col(id_col),
-        F.round(
-            _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q)), 6
-        ).alias("cosine"),
+        F.col(id_col), _cosine6(F.col(vec_col), q).alias("cosine")
     )
+    # NULL cosines (zero-norm rows) sort last under DESC and never rank
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
 
@@ -118,10 +127,10 @@ def _cell_assignment_col(vec_col: str, rows) -> Column:
     cell_scores = F.transform(
         codebook,
         lambda s: F.struct(
-            F.round(
-                _dot(F.col(vec_col), s["c"])
-                / (_norm(F.col(vec_col)) * _norm(s["c"])),
-                6,
+            # zero-norm vector or centroid -> sentinel below any real
+            # cosine (assignment still deterministic, job never aborts)
+            F.coalesce(
+                _cosine6(F.col(vec_col), s["c"]), F.lit(-2.0)
             ).alias("ccos"),
             s["cell"].alias("cell"),
         ),
@@ -232,6 +241,8 @@ def ann_ivf_topk(df: DataFrame, query: Sequence[float], k: int = 10,
         nb = 0.0
         for b in query:
             nb += float(b) * float(b)
+        if na == 0.0 or nb == 0.0:  # degenerate centroid/query: rank last
+            return -2.0
         return round(num / ((na ** 0.5) * (nb ** 0.5)), 6)
 
     probe = [lab for lab, _c in sorted(

@@ -66,12 +66,19 @@ def _parse_headers(block: bytes) -> dict:
 
 
 def _parse_ts(warc_date: Optional[str]):
+    """WARC-Date → aware UTC datetime. WARC/1.0 mandates whole seconds;
+    WARC/1.1 explicitly allows fractional seconds — both must parse, or
+    standard-compliant archives get NULL warc_ts and silently fall out of
+    every event-time consumer (watermarked dedup, windowed metrics)."""
     if not warc_date:
         return None
     try:
-        return datetime.strptime(warc_date, "%Y-%m-%dT%H:%M:%SZ").replace(
-            tzinfo=timezone.utc
-        )
+        # fromisoformat handles optional fractional seconds; normalize the
+        # trailing Z (not accepted before Python 3.11's parser on 3.10-)
+        dt = datetime.fromisoformat(warc_date.strip().replace("Z", "+00:00"))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return dt.astimezone(timezone.utc)
     except ValueError:
         return None
 

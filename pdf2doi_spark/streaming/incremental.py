@@ -20,12 +20,14 @@ from pdf2doi_spark.operators.extract import extract_identifiers
 from pdf2doi_spark.pages import PAGES_SCHEMA
 
 
-def read_pages_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
-    """File-source stream of pages parquet (one-file-at-a-time trigger
-    control is the caller's choice via maxFilesPerTrigger)."""
+def read_pages_stream(spark: SparkSession, landing_dir: str,
+                      max_files_per_trigger: int = 4) -> DataFrame:
+    """File-source stream of pages parquet; micro-batch granularity is the
+    caller's choice via ``max_files_per_trigger`` (it sets batch
+    boundaries, ``_batch`` partitioning, and cache-merge granularity)."""
     return (
         spark.readStream.schema(PAGES_SCHEMA)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", int(max_files_per_trigger))
         .parquet(landing_dir)
     )
 
@@ -39,14 +41,19 @@ def extract_stream(pages_stream: DataFrame, replace_arxiv: bool = True) -> DataF
 
 def windowed_hit_rate(pages_stream: DataFrame, replace_arxiv: bool = True) -> DataFrame:
     """Per-10-minute-crawl-window hit counts with a 30-minute watermark —
-    the stateful-aggregation pattern for late-arriving WARC records."""
+    the stateful-aggregation pattern for late-arriving WARC records.
+
+    ``warc_ts`` rides THROUGH the kernel as a passthrough column instead of
+    re-joining results to the stream on url: a url recrawled k times in a
+    window would fan such a join out k×k (double-counting the metric), and
+    a pre-watermark stream-stream self-join accumulates unbounded state."""
     res = extract_identifiers(
-        pages_stream.select("url", "html", "text"),
+        pages_stream.select("url", "html", "text", "warc_ts"),
         replace_arxiv=replace_arxiv, with_text=False,
+        passthrough=["warc_ts"],
     )
-    joined = pages_stream.select("url", "warc_ts").join(res, "url")
     return (
-        joined.withWatermark("warc_ts", "30 minutes")
+        res.withWatermark("warc_ts", "30 minutes")
         .groupBy(F.window("warc_ts", "10 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

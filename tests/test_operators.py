@@ -866,3 +866,107 @@ def test_merge_cache_sequence_matches_dict_model(spark, tmp_path):
         )
         got = {r["url"]: r["identifier"] for r in merged.collect()}
         assert got == model, (got, model)
+
+
+# ------------------------------------------ round-2 review regression pins
+
+def test_percent_encoded_url_doi_survives_prefilter(spark):
+    """A DOI visible only after percent-DECODING the url must still be a
+    prefilter candidate (the kernel's filename stage decodes before its
+    regex pass — batch output must equal the per-row oracle)."""
+    from pdf2doi_spark.operators.extract import extract_identifiers
+
+    pages = spark.createDataFrame(
+        [("https://host.org/files/10%2E1227%2F12345abc.pdf",
+          b"<p>plain page body with no identifier material at all</p>", None)],
+        "url string, html binary, text string",
+    )
+    row = extract_identifiers(pages, with_text=False).collect()[0]
+    assert row["identifier"] == "10.1227/12345abc.pdf"
+    assert row["method"] == "filename"
+
+
+def test_zero_norm_embedding_never_aborts(spark):
+    """ANSI mode turns 0-denominator division into a job abort; a zero
+    vector must instead rank last (NULL cosine) everywhere."""
+    from pdf2doi_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+    e = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 0.0], 0), (3, [0.6, 0.8], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = cosine_topk(e, [1.0, 0.0], k=3).toPandas()
+    assert list(got["vec_id"])[:2] == [1, 3]  # zero vector ranks last
+    assert got.iloc[2]["vec_id"] == 2 and pd.isna(got.iloc[2]["cosine"])
+    ann_lsh_topk(e, [1.0, 0.0], k=3, n_planes=2).collect()  # must not raise
+
+
+def test_jaccard_empty_pair_never_aborts(spark):
+    from pdf2doi_spark.operators.dedup import jaccard_pairs
+
+    d = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "real words here three")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "doc_a long, doc_b long")
+    out = jaccard_pairs(d, pairs, threshold=0.0).collect()  # must not raise
+    assert all(r["doc_a"] != 1 or r["doc_b"] != 2 for r in out)  # 0/0 dropped
+
+
+def test_domain_of_handles_pathless_and_uppercase(spark):
+    from pdf2doi_spark.operators.extract import domain_of
+
+    df = spark.createDataFrame(
+        [("https://example.com",), ("HTTP://Example.COM/x",),
+         ("https://example.com/a/b",), ("https://example.com:8080",)],
+        "url string",
+    )
+    got = [r["d"] for r in df.select(domain_of(F.col("url")).alias("d")).collect()]
+    assert got == ["example.com", "example.com", "example.com", "example.com:8080"]
+
+
+def test_null_text_documents_are_not_duplicates(spark):
+    from pdf2doi_spark.operators.dedup import distinct_documents, exact_duplicates
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, None), (4, "same words"), (5, "same words"),
+         (6, ""), (7, "")],
+        "doc_id long, text string",
+    )
+    dups = exact_duplicates(df).toPandas()
+    keepers = {int(r) for r in dups["keeper_doc_id"]}
+    assert keepers == {4, 6}  # null-text rows never form a group; empties do
+    survivors = {r["doc_id"] for r in distinct_documents(df).collect()}
+    assert survivors == {1, 2, 3, 4, 6}  # every null-text doc survives
+
+
+def test_minhash_rejects_indivisible_bands(spark):
+    from pdf2doi_spark.operators.dedup import minhash_bands
+
+    d = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_bands(d, num_hashes=10, bands=4)
+
+
+def test_warc_fractional_second_dates_parse():
+    from pdf2doi_spark.sources.warc import _parse_ts
+
+    t = _parse_ts("2024-01-01T00:00:00.123456Z")  # WARC/1.1 form
+    assert t is not None and t.microsecond == 123456
+    assert _parse_ts("2024-01-01T00:00:00Z") is not None  # WARC/1.0 form
+    assert _parse_ts("not a date") is None
+
+
+def test_extract_passthrough_columns(spark):
+    from pdf2doi_spark.operators.extract import extract_identifiers
+
+    pages = spark.createDataFrame(
+        [("https://a.org/x", b"<p>doi: 10.1063/1.2409490 body text</p>",
+          None, "en", 7)],
+        "url string, html binary, text string, lang string, extra int",
+    )
+    row = extract_identifiers(
+        pages, with_text=False, passthrough=["lang", "extra"]
+    ).collect()[0]
+    assert row["identifier"] == "10.1063/1.2409490"
+    assert row["lang"] == "en" and row["extra"] == 7
