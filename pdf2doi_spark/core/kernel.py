@@ -155,8 +155,10 @@ def filename_candidates(url: Optional[str]) -> List[str]:
     The basename of the URL path is percent-decoded (``%2F`` → ``/``,
     reference finders.py:745-747), then progressively dot-joined prefixes
     are emitted longest-first (reference finders.py:749-753): for
-    ``10.1227%2F12345678.pdf`` the candidates are
-    ``['10.1227/12345678.pdf', '10.1227/12345678', '10.1227', '10']``.
+    ``10.1227%2F12345678.pdf`` the '.'-split is
+    ``['10', '1227/12345678', 'pdf']`` so the candidates are exactly
+    ``['10.1227/12345678.pdf', '10.1227/12345678', '10']`` (pinned by
+    tests/test_kernel.py::test_filename_candidates_extension_stripping).
     """
     if not url:
         return []

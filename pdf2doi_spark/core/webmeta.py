@@ -48,8 +48,13 @@ _META_RE_REV = re.compile(
 )
 _TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.I | re.S)
 
+# Each opener pairs with the first closer of the SAME tag (backreference):
+# pairing with the first closer of ANY strip tag would end <head> stripping
+# at an inner </script>, leaking everything after it (title, JSON-LD) into
+# the extracted text — analytics-script-before-title is a very common real
+# page shape.
 _STRIP_RE = re.compile(
-    r"<(?:%s)\b[^>]*>.*?</(?:%s)\s*>" % ("|".join(_STRIP_TAGS), "|".join(_STRIP_TAGS)),
+    r"<(%s)\b[^>]*>.*?</\1\s*>" % "|".join(_STRIP_TAGS),
     re.I | re.S,
 )
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)

@@ -254,17 +254,32 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
 _SIMHASH_BITS = 64
 
 
+_JAVA_WS_RE = None  # compiled lazily on the executor
+
+
 def _simhash_batch(texts: pd.Series) -> pd.Series:
     """Vectorized 64-bit SimHash: per token, a stable 64-bit hash (md5
     prefix); per document, bit-vote across tokens. numpy does the bit
-    unpacking/voting for the whole batch's tokens at once."""
+    unpacking/voting for the whole batch's tokens at once.
+
+    Tokenization uses the ASCII whitespace class ``[ \\t\\n\\x0b\\f\\r]``
+    — exactly Java's ``\\s`` (the class every native operator splits on)
+    and what the SQL oracle's regex sees. Python's ``str.split()`` splits
+    on ALL Unicode whitespace (NBSP, ideographic space — ubiquitous in
+    HTML-derived text) and would silently desync simhash from the rest of
+    the fingerprint family."""
     import hashlib
+    import re
+
+    global _JAVA_WS_RE
+    if _JAVA_WS_RE is None:
+        _JAVA_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
 
     out = np.zeros(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
         if not t:
             continue
-        toks = t.lower().split()
+        toks = [x for x in _JAVA_WS_RE.split(t.lower()) if x]
         if not toks:
             continue
         hs = np.frombuffer(

@@ -64,6 +64,24 @@ _ARXIV_RE = ARXIV_GATE_RE
 _DOI_MARK_B = b"10."
 _ARXIV_RE_B = _re.compile(ARXIV_GATE_PATTERN.encode("ascii"))
 
+_ASCII_SUPERSET_CACHE: dict = {}
+_ASCII_PROBE = "10.aZ/: arXiv"
+
+
+def _is_ascii_superset(charset: str) -> bool:
+    """True iff encoding marker-relevant ASCII text under ``charset``
+    yields the identical ASCII bytes (so the raw-byte scan remains a sound
+    necessary condition). Unknown codecs count as supersets — the decoder
+    falls back to UTF-8 for them anyway."""
+    cached = _ASCII_SUPERSET_CACHE.get(charset)
+    if cached is None:
+        try:
+            cached = _ASCII_PROBE.encode(charset) == _ASCII_PROBE.encode("ascii")
+        except (LookupError, ValueError):
+            cached = True
+        _ASCII_SUPERSET_CACHE[charset] = cached
+    return cached
+
 
 def _batch_extract(batch: pd.DataFrame, replace_arxiv: bool,
                    with_text: bool, counters=None,
@@ -91,16 +109,24 @@ def _batch_extract(batch: pd.DataFrame, replace_arxiv: bool,
         # UTF-16/32 payloads are NUL-interleaved: the ASCII byte scan can
         # never see '10.' in them even though the decoder extracts it, so
         # BOM'd rows are candidates unconditionally (rare on real crawls;
-        # correctness beats the skipped prefilter). Every non-BOM charset
-        # the decoder can select is an ASCII superset (meta declarations
-        # are themselves read as ASCII bytes, and declared utf-16/32 is
-        # remapped to utf-8 per WHATWG — see webmeta._decode), so the raw
-        # scan stays a sound necessary condition for all other rows.
+        # correctness beats the skipped prefilter).
         if bb[:2] in (b"\xff\xfe", b"\xfe\xff") or bb[:4] in (
             b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff"
         ):
             return True
-        return _DOI_MARK_B in bb or _ARXIV_RE_B.search(bb) is not None
+        if _DOI_MARK_B in bb or _ARXIV_RE_B.search(bb) is not None:
+            return True
+        # Declared charsets are USUALLY ASCII supersets (the declaration
+        # itself is read as ASCII bytes, and declared utf-16/32 is remapped
+        # to utf-8 per WHATWG — see webmeta._decode), but not always:
+        # EBCDIC code pages (cp500/cp037/...) and utf-7 re-map the digits
+        # themselves, so the decoder could surface '10.' from bytes this
+        # scan cannot see. Probe the sniffed codec once (cached) and treat
+        # any non-ASCII-superset row as an unconditional candidate.
+        from pdf2doi_spark.core.webmeta import sniff_charset
+
+        cs = sniff_charset(bb)
+        return cs is not None and not _is_ascii_superset(cs)
 
     cols = (url.fillna(""), text.fillna(""))
     candidate = None

@@ -1,4 +1,4 @@
-"""Driver-contract query builders + DuckDB oracle SQL.
+r"""Driver-contract query builders + DuckDB oracle SQL.
 
 Every entry pairs a PySpark query (callable ``(spark, sf_dir) -> DataFrame``)
 with an ANSI-SQL oracle that DuckDB evaluates over the same parquet tables.
@@ -7,7 +7,16 @@ sorts columns by name before value-hashing).
 
 Inputs are synthesised *deterministically in SQL-expressible form* from the
 provided tables (documents/embeddings), so both engines construct
-bit-identical inputs — no side-channel files. Where a result is genuinely
+bit-identical inputs — no side-channel files.
+
+Pinned regex-dialect limitation: Spark compiles Java regex (``\s`` =
+``[ \t\n\x0B\f\r]``, ``length()`` counts UTF-16 units) while DuckDB
+compiles RE2 (``\s`` excludes ``\x0B``; codepoint lengths). The two agree
+on every character class these fixtures (and ordinary crawl text) contain;
+a document carrying a vertical tab or astral-plane codepoints would
+tokenize/measure differently per engine. Python-side kernels tokenize on
+the explicit Java-``\s`` class (see dedup._simhash_batch) so the THIRD
+engine can never add its own Unicode-whitespace variant of this skew. Where a result is genuinely
 engine-specific (SimHash's bit votes, LSH-ANN's hash-derived hyperplanes,
 HLL/t-digest sketches) the oracle is omitted and the driver records the
 weaker rows-only check, with a dedicated pytest pinning each instead; the
@@ -34,7 +43,9 @@ _SHIPPED = set()
 def _ensure_shipped(spark: SparkSession) -> None:
     from pdf2doi_spark.session import ship_package
 
-    key = id(spark.sparkContext)
+    # applicationId is unique per context; id() of a GC'd-and-reallocated
+    # SparkContext can collide and silently skip the ship
+    key = spark.sparkContext.applicationId
     if key not in _SHIPPED:
         ship_package(spark)
         _SHIPPED.add(key)
@@ -647,10 +658,10 @@ def _q_winnowing_sketch():
           FROM documents
         )
         SELECT doc_id,
-               array_to_string(
+               coalesce(array_to_string(
                  CASE WHEN len(w) >= 3
                       THEN list_sort(list_distinct([md5(array_to_string(w[i:i+2], ' ')) for i in range(1, len(w) - 1)]))[1:8]
-                      ELSE [] END, '|') AS sketch
+                      ELSE [] END, '|'), '') AS sketch
         FROM words
     """
     return q, sql
@@ -736,9 +747,13 @@ def _q_simhash():
 
     sql = r"""
         WITH toks AS (
+          -- empty tokens filtered instead of a trim() gate: DuckDB trim()
+          -- strips spaces only, so whitespace-only text would otherwise
+          -- contribute a bogus '' token the Python kernel never sees
           SELECT doc_id,
-                 list_distinct(CASE WHEN length(trim(text)) = 0 THEN []
-                                    ELSE regexp_split_to_array(lower(trim(text)), '\s+') END) AS tk
+                 list_distinct(list_filter(
+                   regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+                   x -> x <> '')) AS tk
           FROM documents
         ), th AS (
           SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h, len(tk) AS n
@@ -775,9 +790,13 @@ def _q_simhash_near_dups():
 
     sql = r"""
         WITH toks AS (
+          -- empty tokens filtered instead of a trim() gate: DuckDB trim()
+          -- strips spaces only, so whitespace-only text would otherwise
+          -- contribute a bogus '' token the Python kernel never sees
           SELECT doc_id,
-                 list_distinct(CASE WHEN length(trim(text)) = 0 THEN []
-                                    ELSE regexp_split_to_array(lower(trim(text)), '\s+') END) AS tk
+                 list_distinct(list_filter(
+                   regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+                   x -> x <> '')) AS tk
           FROM documents
         ), th AS (
           SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h, len(tk) AS n
@@ -810,24 +829,49 @@ def _q_simhash_near_dups():
 
 
 def _q_minhash_near_dups():
+    """Faithful oracle: the SQL replays the WHOLE pipeline — keyed-min-md5
+    signatures, band hashes, band-collision candidate pairs, exact shingle
+    Jaccard, threshold — rather than shortcutting via fingerprint equality
+    (which would miss pairs landing in the [0.99, 1) jaccard window on
+    other data)."""
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pdf2doi_spark.operators.dedup import minhash_near_duplicates
 
         return minhash_near_duplicates(_dup_input(spark, sf_dir), threshold=0.99)
 
-    # Exact-duplicate pairs (jaccard 1.0) are closed-form on the doubled
-    # input: every doc pairs with its twin; docs whose normalised text
-    # collides with another doc also pair. Expressible via fingerprint join.
     sql = rf"""
         WITH inp AS ({_DUP_INPUT_SQL}),
-        fp AS (
-          SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f,
-                 len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS nw
+        words AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
           FROM inp
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+          FROM words WHERE len(w) >= 3
+        ), sig AS (
+          SELECT doc_id,
+                 [list_aggregate(list_transform(s, x -> md5(CAST(k AS VARCHAR) || ':' || x)), 'min')
+                  for k in range(0, 12)] AS mh
+          FROM sh
+        ), bands AS (
+          SELECT doc_id, b.band_idx,
+                 md5(array_to_string(mh[3*b.band_idx + 1 : 3*b.band_idx + 3], '|')) AS band_hash
+          FROM sig, (SELECT unnest(range(0, 4)) AS band_idx) b
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a
+          JOIN bands b ON a.band_idx = b.band_idx
+                      AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
         )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1.0 AS jaccard
-        FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
-        WHERE a.nw >= 3
+        SELECT c.doc_a, c.doc_b,
+               round(len(list_intersect(sa.s, sb.s)) * 1.0
+                     / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE len(list_intersect(sa.s, sb.s)) * 1.0
+              / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.99
         ORDER BY doc_a, doc_b
     """
     return q, sql
@@ -1001,6 +1045,7 @@ import os as _os
 _ORACLE_SF_DIR = _os.environ.get(
     "SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01"
 )
+_COMPRESSION_ORACLE_CACHE: dict = {}
 
 
 def _q_compression_ratio():
@@ -1017,28 +1062,34 @@ def _q_compression_ratio():
 
         return compression_ratio(_docs(spark, sf_dir))
 
-    sql = None
-    try:
-        import duckdb
+    # memoized per process: the precompute reads the oracle-scale parquet
+    # and zlib-compresses every document — build_queries()/build_oracles()
+    # each invoke every builder, and this work must not run twice (nor at
+    # all twice for registry construction)
+    if _ORACLE_SF_DIR not in _COMPRESSION_ORACLE_CACHE:
+        sql = None
+        try:
+            import duckdb
 
-        from pdf2doi_spark.operators.quality import zlib_ratio
+            from pdf2doi_spark.operators.quality import zlib_ratio
 
-        rows = duckdb.connect().execute(
-            f"SELECT doc_id, text FROM read_parquet("
-            f"'{_ORACLE_SF_DIR}/documents.parquet') ORDER BY doc_id"
-        ).fetchall()
-        vals = ",".join(
-            f"({d},CAST({zlib_ratio(t)!r} AS DOUBLE))" for d, t in rows
-        )
-        sql = (
-            "SELECT d.doc_id, v.compression_ratio "
-            f"FROM documents d JOIN (VALUES {vals}) "
-            "v(doc_id, compression_ratio) ON v.doc_id = d.doc_id"
-        )
-    except Exception:
-        sql = None  # testdata absent: fall back to the rows-only check
+            rows = duckdb.connect().execute(
+                f"SELECT doc_id, text FROM read_parquet("
+                f"'{_ORACLE_SF_DIR}/documents.parquet') ORDER BY doc_id"
+            ).fetchall()
+            vals = ",".join(
+                f"({d},CAST({zlib_ratio(t)!r} AS DOUBLE))" for d, t in rows
+            )
+            sql = (
+                "SELECT d.doc_id, v.compression_ratio "
+                f"FROM documents d JOIN (VALUES {vals}) "
+                "v(doc_id, compression_ratio) ON v.doc_id = d.doc_id"
+            )
+        except Exception:
+            sql = None  # testdata absent: fall back to the rows-only check
+        _COMPRESSION_ORACLE_CACHE[_ORACLE_SF_DIR] = sql
 
-    return q, sql
+    return q, _COMPRESSION_ORACLE_CACHE[_ORACLE_SF_DIR]
 
 
 def _q_corpus_pipeline():
@@ -1743,9 +1794,14 @@ def _q_ngram_jaccard():
     """Exact n-gram Jaccard on deterministic candidate pairs (doc, doc+1):
     pins the shingle/set algebra without the LSH layer."""
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from pdf2doi_spark.operators.dedup import jaccard_pairs
+        from pdf2doi_spark.operators.dedup import has_min_words, jaccard_pairs
 
-        d = _docs(spark, sf_dir).select("doc_id", "text")
+        # both pair members need >=3 words, mirroring the oracle's sh CTE —
+        # otherwise a short doc emits a jaccard=0.0 row the oracle's
+        # filtered join never produces
+        d = _docs(spark, sf_dir).select("doc_id", "text").filter(
+            has_min_words(F.col("text"))
+        )
         pairs = (
             d.select(F.col("doc_id").alias("doc_a"))
             .withColumn("doc_b", F.col("doc_a") + 1)
@@ -2221,7 +2277,10 @@ def _q_title_select():
         return d.select(
             F.col("doc_id"),
             F.size(kept).alias("n_candidates"),
-            F.element_at(ranked, 1)["t"].alias("best_title"),
+            # every candidate can fail the length gate: a bare element_at on
+            # the empty array is an ANSI-mode job abort, not a NULL
+            F.when(F.size(kept) > 0, F.element_at(ranked, 1)["t"])
+            .alias("best_title"),
         )
 
     sql = """
