@@ -81,3 +81,71 @@ def test_adversarial_query_vs_oracle(spark, adv_dir, adv_duck, name):
         raise AssertionError(
             f"{name}: value mismatch\nspark:\n{g[bad].head(5)}\nduck:\n{w[bad].head(5)}"
         )
+
+
+# ------------------------------------------------------ adversarial events
+
+EVENT_ROWS = [
+    # user 1: gap EXACTLY 1800s (same session: rule is strictly > 1800s),
+    # then 1800.000001s (new session) — the fractional boundary a
+    # whole-seconds implementation gets wrong
+    (1, "2024-01-01 00:00:00.000000", 1, "view", 1.0),
+    (2, "2024-01-01 00:30:00.000000", 1, "click", 2.0),
+    (3, "2024-01-01 01:00:00.000001", 1, "purchase", 3.0),
+    # user 2: tied timestamps (dedup/order stability) + single event
+    (4, "2024-01-01 00:10:00.500000", 2, "view", 1.5),
+    (5, "2024-01-01 00:10:00.500000", 2, "view", 1.5),
+    (6, "2024-01-01 00:10:00.500000", 2, "click", 0.5),
+    # user 3: single event exactly on a 10-minute window boundary
+    (7, "2024-01-01 00:20:00.000000", 3, "view", 9.9),
+    # user 4: purchase BEFORE click (ordered funnel must not count it)
+    (8, "2024-01-01 00:00:01.000000", 4, "view", 1.0),
+    (9, "2024-01-01 00:00:02.000000", 4, "purchase", 5.0),
+    (10, "2024-01-01 00:00:03.000000", 4, "click", 1.0),
+]
+
+
+@pytest.fixture(scope="module")
+def adv_events_dir(spark, adv_dir):
+    df = spark.createDataFrame(
+        [(i, t, u, e, v, "{}") for i, t, u, e, v in EVENT_ROWS],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from pyspark.sql import functions as F
+
+    df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    df.coalesce(1).write.parquet(f"{adv_dir}/events.parquet")
+    return adv_dir
+
+
+@pytest.fixture(scope="module")
+def adv_events_duck(adv_events_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{adv_events_dir}/events.parquet/*.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", ["sessionize", "funnel", "events_windowed"])
+def test_adversarial_events_vs_oracle(spark, adv_events_dir, adv_events_duck, name):
+    from pdf2doi_spark.queries import _BUILDERS
+
+    q, sql = _BUILDERS[name]()
+    got = q(spark, adv_events_dir).toPandas()
+    want = adv_events_duck.execute(sql).df()
+    assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
+    g, w = _canon(got), _canon(want)
+    assert g.equals(w), f"{name} mismatch:\n{g}\n{w}"
+
+
+def test_adversarial_session_boundaries(spark, adv_events_dir):
+    """Pin the semantics directly: exactly-1800s gap continues the
+    session; 1800.000001s starts a new one."""
+    from pdf2doi_spark.queries import _BUILDERS
+
+    q, _ = _BUILDERS["sessionize"]()
+    rows = q(spark, adv_events_dir).filter("user_id = 1").collect()
+    assert [(r["session_idx"], r["n_events"]) for r in rows] == [(1, 2), (2, 1)]
