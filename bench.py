@@ -73,8 +73,30 @@ def _sf_tag() -> str:
 _LAYOUT = "v2-2000rows"
 
 
+def _content_tag() -> str:
+    """Fingerprint of everything the materialized table depends on: the
+    generator source (pages.py) and the source parquet's identity/stats,
+    plus the resolved input dir. Without this, a pages.py edit or a
+    regenerated/symlinked documents.parquet would silently re-benchmark a
+    STALE artifact (the _SUCCESS check would still pass)."""
+    import hashlib
+
+    h = hashlib.md5()
+    gen = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "pdf2doi_spark", "pages.py")
+    with open(gen, "rb") as fh:
+        h.update(fh.read())
+    h.update(os.path.abspath(SF_DIR).encode())
+    src = os.path.join(SF_DIR, "documents.parquet")
+    if os.path.exists(src):
+        st = os.stat(src)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:10]
+
+
 def _pages_path(replicate: int) -> str:
-    return f"/tmp/pdf2doi_bench_pages_{_sf_tag()}_x{replicate}_{_LAYOUT}"
+    return (f"/tmp/pdf2doi_bench_pages_{_sf_tag()}_x{replicate}_{_LAYOUT}"
+            f"_{_content_tag()}")
 
 
 def _materialize_pages(spark, sf_dir: str, replicate: int) -> tuple:

@@ -85,13 +85,20 @@ def main() -> None:
                 id_type = "arxiv ID"
             else:
                 sys.exit(f"error: {ident!r} is not a valid DOI or arXiv ID")
+            # Key the association with the SAME url the extraction will
+            # produce: raw-file ingestion urls are binaryFile 'file:' URIs,
+            # so a raw local path would never match the broadcast join and
+            # the manual tag would be silently ignored.
+            tag_url = args.target
+            if os.path.exists(args.target):
+                tag_url = "file:" + os.path.abspath(args.target)
             row = spark.createDataFrame(
-                [(args.target, ident, id_type, "manual", None)],
+                [(tag_url, ident, id_type, "manual", None)],
                 "url string, identifier string, identifier_type string, "
                 "method string, tier int",
             )
             merge_cache(spark, args.cache, row)
-            print(f"{id_type:<15s} {ident:<40s} {args.target:<10s}")
+            print(f"{id_type:<15s} {ident:<40s} {tag_url:<10s}")
             return
 
         from pdf2doi_spark.sources.io import resolve_pages_source
@@ -123,14 +130,18 @@ def main() -> None:
             from pdf2doi_spark.sources.io import merge_cache
 
             snap_dir = tempfile.mkdtemp(prefix="pdf2doi_run_")
-            snap = os.path.join(snap_dir, "results.parquet")
-            results.write.mode("overwrite").parquet(snap)
-            results = spark.read.parquet(snap)
-            lines = [r["report_line"] for r in format_report(results).collect()]
-            merge_cache(spark, args.cache, results)
-            # merge_cache materialized its own copy; the snapshot would
-            # otherwise leak a full results table into /tmp per run
-            shutil.rmtree(snap_dir, ignore_errors=True)
+            try:
+                snap = os.path.join(snap_dir, "results.parquet")
+                results.write.mode("overwrite").parquet(snap)
+                results = spark.read.parquet(snap)
+                lines = [r["report_line"]
+                         for r in format_report(results).collect()]
+                merge_cache(spark, args.cache, results)
+            finally:
+                # merge_cache materialized its own copy; the snapshot must
+                # not leak a full results table into /tmp — on failure
+                # either (collect/merge raise included)
+                shutil.rmtree(snap_dir, ignore_errors=True)
         else:
             lines = [r["report_line"] for r in format_report(results).collect()]
         for line in lines:

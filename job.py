@@ -54,8 +54,15 @@ def main() -> None:
             pages = repartition_salted(pages, args.salt_partitions)
 
         cache = None
-        if args.cache and os.path.exists(args.cache):
-            cache = spark.read.parquet(args.cache)
+        if args.cache:
+            # Hadoop FS probe, not os.path: the production cache lives on
+            # hdfs://ized storage where a driver-local exists() is silently
+            # False — that would skip the fast path AND make merge_cache
+            # treat the populated cache as brand-new.
+            from pdf2doi_spark.sources.io import fs_exists
+
+            if fs_exists(spark, args.cache):
+                cache = spark.read.parquet(args.cache)
 
         results = run_resumable(
             spark,
@@ -69,9 +76,13 @@ def main() -> None:
         if args.cache:
             merge_cache(spark, args.cache, results)
 
-        metrics = method_metrics(results)
-        metrics.write.mode("overwrite").parquet(os.path.join(args.output, "metrics"))
-        for row in metrics.collect():
+        metrics_path = os.path.join(args.output, "metrics")
+        method_metrics(results).write.mode("overwrite").parquet(metrics_path)
+        # print from the tiny written table: collecting the original plan
+        # would re-scan + re-aggregate the full results a second time
+        for row in spark.read.parquet(metrics_path).orderBy(
+            "method", "identifier_type"
+        ).collect():
             print(f"{row['method']:<28s} {row['identifier_type']:<12s} {row['n_docs']}")
     finally:
         spark.stop()

@@ -25,16 +25,31 @@ from pyspark.sql import SparkSession
 ARROW_BATCH_ROWS = 2048
 
 
+_SHIPPED_APPS: set = set()
+
+
 def ship_package(spark: SparkSession) -> None:
     """Ship the ``pdf2doi_spark`` package to executors.
 
     Equivalent of ``spark-submit --py-files pipeline.zip`` for sessions
-    built programmatically: zips the installed package once and registers
-    it via ``addPyFile`` so every Python worker can import the pure-Python
-    core regardless of the driver's working directory.
+    built programmatically: zips the installed package and registers it via
+    ``addPyFile`` so every Python worker can import the pure-Python core
+    regardless of the driver's working directory.
+
+    Memoized per applicationId (multiple build_session/registry calls must
+    not re-walk and re-zip). The zip gets a PROCESS-UNIQUE name: a fixed
+    /tmp path would let a concurrent process truncate the file while this
+    session's executors are still fetching it, and fails outright for the
+    second user on a shared box.
     """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED_APPS:
+        return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join(tempfile.gettempdir(), "pdf2doi_spark_pyfiles.zip")
+    fd, zip_path = tempfile.mkstemp(
+        prefix="pdf2doi_spark_pyfiles_", suffix=".zip"
+    )
+    os.close(fd)
     with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_STORED) as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             if "__pycache__" in root:
@@ -48,6 +63,7 @@ def ship_package(spark: SparkSession) -> None:
                 )
                 zf.write(full, rel)
     spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_APPS.add(app_id)
 
 
 def build_session(master: str | None = None, app_name: str = "pdf2doi_spark",

@@ -20,15 +20,67 @@ North-rule requirements covered here:
 from __future__ import annotations
 
 import os
-import shutil
 from typing import Optional
-
-
-def _rmtree(path: str) -> None:
-    shutil.rmtree(path, ignore_errors=True)
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
+
+
+# ---------------------------------------------------------------- fs layer
+# All cache/manifest side-state goes through the Hadoop FileSystem API, not
+# driver-local os.path/open: the production shapes are hdfs:///s3a://
+# paths, where os.path.exists is silently False — which would disable the
+# cache fast path AND make the merge treat a populated remote cache as
+# brand-new (overwriting prior rows in every touched shard). Plain local
+# paths route through Hadoop's LocalFileSystem, so sandbox behavior is
+# unchanged.
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, hp = _fs(spark, path)
+    return bool(fs.exists(hp))
+
+
+def _fs_child_names(spark: SparkSession, path: str) -> list:
+    fs, hp = _fs(spark, path)
+    return [s.getPath().getName() for s in fs.listStatus(hp)]
+
+
+def _fs_read_small(spark: SparkSession, path: str) -> str:
+    fs, hp = _fs(spark, path)
+    stream = fs.open(hp)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def _fs_write_small(spark: SparkSession, path: str, content: str) -> None:
+    fs, hp = _fs(spark, path)
+    out = fs.create(hp, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _rmtree(path: str, spark: SparkSession = None) -> None:
+    if spark is not None:
+        fs, hp = _fs(spark, path)
+        if fs.exists(hp):
+            fs.delete(hp, True)
+        return
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
 
 PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 
@@ -96,10 +148,9 @@ def merge_cache(spark: SparkSession, cache_path: str, results: DataFrame,
     old shard id — two rows per url would then fan out every matching page
     in the downstream broadcast join.
     """
-    marker = os.path.join(cache_path, "_pdf2doi_n_shards")
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            n_shards = int(fh.read().strip())
+    marker = cache_path.rstrip("/") + "/_pdf2doi_n_shards"
+    if fs_exists(spark, marker):
+        n_shards = int(_fs_read_small(spark, marker).strip())
 
     new = (
         results.filter(F.col("identifier").isNotNull())
@@ -110,9 +161,11 @@ def merge_cache(spark: SparkSession, cache_path: str, results: DataFrame,
     )
 
     def _is_sharded(path: str) -> bool:
-        return any(e.startswith("shard=") for e in os.listdir(path))
+        return any(
+            e.startswith("shard=") for e in _fs_child_names(spark, path)
+        )
 
-    if os.path.exists(cache_path) and not _is_sharded(cache_path):
+    if fs_exists(spark, cache_path) and not _is_sharded(cache_path):
         # one-time migration of a flat (round-1 layout) cache
         flat = spark.read.parquet(cache_path).withColumn(
             "shard", shard_column(n_shards)
@@ -120,9 +173,9 @@ def merge_cache(spark: SparkSession, cache_path: str, results: DataFrame,
         flat.write.mode("overwrite").parquet(cache_path + ".mig")
         spark.read.parquet(cache_path + ".mig").write.mode("overwrite") \
             .partitionBy("shard").parquet(cache_path)
-        _rmtree(cache_path + ".mig")
+        _rmtree(cache_path + ".mig", spark)
 
-    if os.path.exists(cache_path):
+    if fs_exists(spark, cache_path):
         # touched shards = the (small) distinct-shard set of the new batch;
         # collected on the driver to build a partition-pruning filter for
         # the old-side scan (bounded by n_shards values, never row data).
@@ -159,14 +212,14 @@ def merge_cache(spark: SparkSession, cache_path: str, results: DataFrame,
     )
     result = spark.read.parquet(cache_path)
     result.count()  # force before dropping the tmp source
-    _rmtree(cache_path + ".tmp")
-    with open(marker, "w") as fh:  # pin the modulus for every later merge
-        fh.write(str(n_shards))
+    _rmtree(cache_path + ".tmp", spark)
+    # pin the modulus for every later merge
+    _fs_write_small(spark, marker, str(n_shards))
     return result
 
 
 def completed_shards(spark: SparkSession, manifest_path: str) -> set:
-    if not os.path.exists(manifest_path):
+    if not fs_exists(spark, manifest_path):
         return set()
     rows = spark.read.parquet(manifest_path).filter(F.col("status") == "done")
     return {r["shard"] for r in rows.select("shard").distinct().collect()}
@@ -187,11 +240,22 @@ def run_resumable(
     n_hits). On restart, shards already marked done are filtered out of the
     *input* (a pushed-down pmod filter), so completed work is never
     recomputed — the sandbox stand-in for Iceberg snapshot-based restart.
+
+    ``n_shards`` applies on the FIRST run; a restart always resumes under
+    the modulus pinned in ``{out_dir}/_n_shards``. A restart under a
+    different modulus would skip-filter a DIFFERENT row set than the one
+    the manifest recorded as done (silent loss) while leaving the old
+    shard partitions alive next to recomputed ones (duplicates).
     """
     from pdf2doi_spark.operators.extract import extract_identifiers
 
     results_path = os.path.join(out_dir, "results")
     manifest_path = os.path.join(out_dir, "manifest")
+    marker = out_dir.rstrip("/") + "/_n_shards"
+    if fs_exists(spark, marker):
+        n_shards = int(_fs_read_small(spark, marker).strip())
+    else:
+        _fs_write_small(spark, marker, str(n_shards))
 
     done = completed_shards(spark, manifest_path)
     sharded = pages.withColumn("shard", shard_column(n_shards))
@@ -228,7 +292,7 @@ def run_resumable(
     tmp = manifest_path + ".tmp"
     manifest.write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp).write.mode("overwrite").parquet(manifest_path)
-    _rmtree(tmp)
+    _rmtree(tmp, spark)
     return spark.read.parquet(results_path)
 
 

@@ -970,3 +970,23 @@ def test_extract_passthrough_columns(spark):
     ).collect()[0]
     assert row["identifier"] == "10.1063/1.2409490"
     assert row["lang"] == "en" and row["extra"] == 7
+
+
+def test_run_resumable_pins_shard_count(spark, sf_dir, tmp_path):
+    """A restart passing a different n_shards must resume under the pinned
+    modulus — not skip-filter a different row set (loss) or leave stale
+    partitions beside recomputed ones (duplicates)."""
+    from pdf2doi_spark.pages import pages_from_documents
+    from pdf2doi_spark.sources.io import run_resumable
+
+    out = str(tmp_path / "run")
+    pages = pages_from_documents(spark, sf_dir).limit(60).cache()
+    n = pages.count()
+    run_resumable(spark, pages, out, n_shards=8)
+
+    # restart with the WRONG modulus: stored value must win
+    res = run_resumable(spark, pages, out, n_shards=32)
+    assert res.count() == n
+    assert res.select("url").distinct().count() == n
+    assert res.select("shard").distinct().count() <= 8
+    pages.unpersist()

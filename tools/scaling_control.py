@@ -22,7 +22,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-DEFAULT_PAGES = "/tmp/pdf2doi_bench_pages_sf0.1_x200_v2-2000rows"
+def _default_pages() -> str:
+    """Newest complete bench --scaling artifact (the path now embeds a
+    content fingerprint, so glob rather than hardcode)."""
+    cands = [
+        p for p in glob.glob("/tmp/pdf2doi_bench_pages_*_x200_*")
+        if os.path.exists(os.path.join(p, "_SUCCESS"))
+    ]
+    return max(cands, key=os.path.getmtime) if cands else "/nonexistent"
 
 
 def _work(path: str) -> int:
@@ -48,7 +55,7 @@ def run(files, procs: int) -> dict:
 
 def main() -> None:
     args = sys.argv[1:]
-    pages = args[0] if args and not args[0].isdigit() else DEFAULT_PAGES
+    pages = args[0] if args and not args[0].isdigit() else _default_pages()
     procs = [int(a) for a in args if a.isdigit()] or [8, 32]
     files = sorted(glob.glob(os.path.join(pages, "*.parquet")))
     if not files:
