@@ -877,6 +877,68 @@ def _q_minhash_near_dups():
     return q, sql
 
 
+def _q_minhash_bucket_profile():
+    """The LSH skew audit (dedup.py minhash_bucket_profile): bucket-size
+    histogram of the band join's shuffle key — what you run BEFORE picking
+    a max_bucket cap at crawl scale."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.dedup import minhash_bucket_profile
+
+        return minhash_bucket_profile(_dup_input(spark, sf_dir))
+
+    sql = rf"""
+        WITH inp AS ({_DUP_INPUT_SQL}),
+        words AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+          FROM inp
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+          FROM words WHERE len(w) >= 3
+        ), sig AS (
+          SELECT doc_id,
+                 [list_aggregate(list_transform(s, x -> md5(CAST(k AS VARCHAR) || ':' || x)), 'min')
+                  for k in range(0, 12)] AS mh
+          FROM sh
+        ), bands AS (
+          SELECT doc_id, b.band_idx,
+                 md5(array_to_string(mh[3*b.band_idx + 1 : 3*b.band_idx + 3], '|')) AS band_hash
+          FROM sig, (SELECT unnest(range(0, 4)) AS band_idx) b
+        ), sizes AS (
+          SELECT band_idx, band_hash, count(*) AS bucket_size
+          FROM bands GROUP BY band_idx, band_hash
+        )
+        SELECT bucket_size, count(*) AS n_buckets
+        FROM sizes GROUP BY bucket_size ORDER BY bucket_size DESC
+    """
+    return q, sql
+
+
+def _q_dedup_survivors():
+    """Survivor set after exact dedup on the doubled input (min doc_id per
+    fingerprint; null-text docs all survive — dedup.distinct_documents)."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.dedup import distinct_documents
+
+        return distinct_documents(_dup_input(spark, sf_dir)).orderBy("doc_id")
+
+    sql = rf"""
+        WITH inp AS ({_DUP_INPUT_SQL}),
+        fp AS (
+          SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          FROM inp
+        )
+        SELECT min(doc_id) AS doc_id, fp FROM fp
+        WHERE fp IS NOT NULL GROUP BY fp
+        UNION ALL
+        SELECT doc_id, fp FROM fp WHERE fp IS NULL
+        ORDER BY doc_id
+    """
+    return q, sql
+
+
 def _q_canonical_urls():
     """URL canonicalization over deterministically messy synthetic urls
     (case-shifted scheme/host, explicit default port, unsorted query,
@@ -2336,6 +2398,8 @@ _BUILDERS = {
     "exact_dup_groups": _q_exact_dup_groups,
     "minhash_bands": _q_minhash_bands,
     "minhash_near_dups": _q_minhash_near_dups,
+    "minhash_bucket_profile": _q_minhash_bucket_profile,
+    "dedup_survivors": _q_dedup_survivors,
     "dup_components": _q_dup_components,
     "dup_components_star": _q_dup_components_star,
     "media_features": _q_media_features,
