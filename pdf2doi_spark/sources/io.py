@@ -187,6 +187,21 @@ def merge_cache(spark: SparkSession, cache_path: str, results: DataFrame,
         old_touched = spark.read.parquet(cache_path).filter(
             F.col("shard").isin(touched)
         ).select("url", "identifier", "identifier_type", "method", "shard")
+        # Rows ALREADY in the cache with identical values are no-ops —
+        # dropping them first makes an idempotent re-merge (job restart,
+        # recrawl of an unchanged corpus) rewrite ZERO shards instead of
+        # re-churning every shard its hits map into.
+        new = new.join(
+            old_touched,
+            ["url", "identifier", "identifier_type", "method", "shard"],
+            "left_anti",
+        )
+        touched = sorted(
+            r["shard"] for r in new.select("shard").distinct().collect()
+        )
+        if not touched:
+            return spark.read.parquet(cache_path)
+        old_touched = old_touched.filter(F.col("shard").isin(touched))
         survivors = old_touched.join(
             new.select("url"), on="url", how="left_anti"
         )
@@ -258,6 +273,10 @@ def run_resumable(
         _fs_write_small(spark, marker, str(n_shards))
 
     done = completed_shards(spark, manifest_path)
+    if len(done) >= n_shards:
+        # every shard already recorded done: a restart must cost O(1), not
+        # a full input re-scan for an empty extraction pass
+        return spark.read.parquet(results_path)
     sharded = pages.withColumn("shard", shard_column(n_shards))
     if done:
         sharded = sharded.filter(~F.col("shard").isin(*sorted(done)))
@@ -278,17 +297,28 @@ def run_resumable(
     )
 
     # Manifest derived from the data itself (never ahead of it); counters =
-    # the per-partition lineage metrics the north rule asks for.
+    # the per-partition lineage metrics the north rule asks for. Only the
+    # shards processed THIS run are re-counted — the shard filter prunes to
+    # their partition directories, so a restart never re-scans the results
+    # of shards whose manifest rows already exist (at 100 TB that re-scan
+    # would dominate every incremental run).
     written = spark.read.parquet(results_path).withColumn(
         "status", F.lit("done")
     )
+    fresh = written.filter(~F.col("shard").isin(*sorted(done))) if done else written
     manifest = (
-        written.groupBy("shard", "status")
+        fresh.groupBy("shard", "status")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.count("identifier").alias("n_hits"),
         )
     )
+    if done:
+        manifest = manifest.unionByName(
+            spark.read.parquet(manifest_path).filter(
+                F.col("shard").isin(*sorted(done))
+            )
+        )
     tmp = manifest_path + ".tmp"
     manifest.write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp).write.mode("overwrite").parquet(manifest_path)

@@ -990,3 +990,31 @@ def test_run_resumable_pins_shard_count(spark, sf_dir, tmp_path):
     assert res.select("url").distinct().count() == n
     assert res.select("shard").distinct().count() <= 8
     pages.unpersist()
+
+
+def test_merge_cache_idempotent_remerge_rewrites_nothing(spark, tmp_path):
+    """Re-merging an identical result set (job restart / unchanged recrawl)
+    must rewrite ZERO shard files."""
+    import glob
+
+    from pdf2doi_spark.sources.io import merge_cache
+
+    cache_path = str(tmp_path / "cache.parquet")
+    schema = ("url string, identifier string, identifier_type string, "
+              "method string, tier int")
+    base = spark.createDataFrame(
+        [(f"https://h{i}.org/p", f"10.1/{i}", "DOI", "document_text", 1)
+         for i in range(100)], schema,
+    )
+    merge_cache(spark, cache_path, base, n_shards=16)
+    before = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{cache_path}/shard=*/*.parquet")
+    }
+    out = merge_cache(spark, cache_path, base, n_shards=16)  # identical
+    assert out.count() == 100
+    after = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{cache_path}/shard=*/*.parquet")
+    }
+    assert before == after, "idempotent re-merge rewrote shard files"
