@@ -159,6 +159,12 @@ def merge_cache(spark: SparkSession, cache_path: str, results: DataFrame,
         .dropDuplicates(["url"])
         .withColumn("shard", shard_column(n_shards))
     )
+    # The merge evaluates the batch up to three times (touched-shard
+    # collect, post-anti-join collect, the write). If ``results`` is an
+    # unmaterialized extraction plan, each evaluation would re-run the
+    # whole kernel — persist so every caller pays ONE extraction pass.
+    new = new.persist()
+    pinned = [new]
 
     def _is_sharded(path: str) -> bool:
         return any(
@@ -175,62 +181,69 @@ def merge_cache(spark: SparkSession, cache_path: str, results: DataFrame,
             .partitionBy("shard").parquet(cache_path)
         _rmtree(cache_path + ".mig", spark)
 
-    if fs_exists(spark, cache_path):
-        # touched shards = the (small) distinct-shard set of the new batch;
-        # collected on the driver to build a partition-pruning filter for
-        # the old-side scan (bounded by n_shards values, never row data).
-        touched = sorted(
-            r["shard"] for r in new.select("shard").distinct().collect()
-        )
-        if not touched:
-            return spark.read.parquet(cache_path)
-        old_touched = spark.read.parquet(cache_path).filter(
-            F.col("shard").isin(touched)
-        ).select("url", "identifier", "identifier_type", "method", "shard")
-        # Rows ALREADY in the cache with identical values are no-ops —
-        # dropping them first makes an idempotent re-merge (job restart,
-        # recrawl of an unchanged corpus) rewrite ZERO shards instead of
-        # re-churning every shard its hits map into.
-        new = new.join(
-            old_touched,
-            ["url", "identifier", "identifier_type", "method", "shard"],
-            "left_anti",
-        )
-        touched = sorted(
-            r["shard"] for r in new.select("shard").distinct().collect()
-        )
-        if not touched:
-            return spark.read.parquet(cache_path)
-        old_touched = old_touched.filter(F.col("shard").isin(touched))
-        survivors = old_touched.join(
-            new.select("url"), on="url", how="left_anti"
-        )
-        merged = survivors.unionByName(new)
-    elif new.isEmpty():
-        # no prior cache AND nothing to write: materializing an empty
-        # partitioned parquet leaves a schema-less directory that the
-        # read-back would reject — return the empty batch as-is instead
-        return new
-    else:
-        merged = new
+    try:
+        if fs_exists(spark, cache_path):
+            # touched shards = the (small) distinct-shard set of the new
+            # batch; collected on the driver to build a partition-pruning
+            # filter for the old-side scan (bounded by n_shards values,
+            # never row data).
+            touched = sorted(
+                r["shard"] for r in new.select("shard").distinct().collect()
+            )
+            if not touched:
+                return spark.read.parquet(cache_path)
+            old_touched = spark.read.parquet(cache_path).filter(
+                F.col("shard").isin(touched)
+            ).select("url", "identifier", "identifier_type", "method",
+                     "shard")
+            # Rows ALREADY in the cache with identical values are no-ops —
+            # dropping them first makes an idempotent re-merge (job restart,
+            # recrawl of an unchanged corpus) rewrite ZERO shards instead of
+            # re-churning every shard its hits map into.
+            new = new.join(
+                old_touched,
+                ["url", "identifier", "identifier_type", "method", "shard"],
+                "left_anti",
+            ).persist()
+            pinned.append(new)
+            touched = sorted(
+                r["shard"] for r in new.select("shard").distinct().collect()
+            )
+            if not touched:
+                return spark.read.parquet(cache_path)
+            old_touched = old_touched.filter(F.col("shard").isin(touched))
+            survivors = old_touched.join(
+                new.select("url"), on="url", how="left_anti"
+            )
+            merged = survivors.unionByName(new)
+        elif new.isEmpty():
+            # no prior cache AND nothing to write: materializing an empty
+            # partitioned parquet leaves a schema-less directory that the
+            # read-back would reject — return the empty batch as-is instead
+            return new
+        else:
+            merged = new
 
-    # Materialize before the overwrite (the merged plan reads the very
-    # partitions being replaced); dynamic mode rewrites ONLY the shard
-    # directories present in the batch.
-    merged.write.mode("overwrite").parquet(cache_path + ".tmp")
-    (
-        spark.read.parquet(cache_path + ".tmp")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("shard")
-        .parquet(cache_path)
-    )
-    result = spark.read.parquet(cache_path)
-    result.count()  # force before dropping the tmp source
-    _rmtree(cache_path + ".tmp", spark)
-    # pin the modulus for every later merge
-    _fs_write_small(spark, marker, str(n_shards))
-    return result
+        # Materialize before the overwrite (the merged plan reads the very
+        # partitions being replaced); dynamic mode rewrites ONLY the shard
+        # directories present in the batch.
+        merged.write.mode("overwrite").parquet(cache_path + ".tmp")
+        (
+            spark.read.parquet(cache_path + ".tmp")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("shard")
+            .parquet(cache_path)
+        )
+        result = spark.read.parquet(cache_path)
+        result.count()  # force before dropping the tmp source
+        _rmtree(cache_path + ".tmp", spark)
+        # pin the modulus for every later merge
+        _fs_write_small(spark, marker, str(n_shards))
+        return result
+    finally:
+        for df in pinned:
+            df.unpersist()
 
 
 def completed_shards(spark: SparkSession, manifest_path: str) -> set:
