@@ -1,0 +1,166 @@
+"""Training-batch construction operators: sequence packing and
+source-mixture sampling.
+
+These are the two corpus-assembly steps that sit between curation (dedup /
+quality gates, ``operators/dedup.py`` / ``operators/quality.py``) and the
+trainer: pick how much of each source to keep (mixture), then pack the
+kept documents into fixed-token-budget training sequences (packing). No
+reference counterpart (pdf2doi stops at extraction); these extend the
+pipeline the way ``dedup.py``/``similarity.py`` do.
+
+Scale shape
+-----------
+Greedy packing is inherently sequential in the chosen document order, so
+it cannot be one global scan at 10^12 docs. The standard parallel
+decomposition is BOUNDED BINS: split the order key into fixed-size ranges,
+pack greedily inside each (group, bin) independently, and accept that each
+bin may end with one partial sequence. With ``bin_size`` docs per bin the
+waste is at most one underfull sequence per bin — a vanishing fraction as
+bins grow — and every bin is an independent task: the only shuffle is the
+``groupBy(group, bin)`` feeding ``applyInPandas``, each task touches at
+most ``bin_size`` rows, and no global window/row_number is ever computed
+(binning is a pure function of the key: ``floor(order_key / bin_size)``).
+
+Mixture sampling keeps membership a pure function of the document key
+(same md5 contract as ``quality.hash_sample``) so the subset is identical
+across engines, runs and cluster sizes; the per-source keep-fractions are
+derived from a tiny per-source token aggregate that Spark broadcasts —
+no driver-side collect, no second pass over the corpus.
+"""
+
+from typing import Iterable, Tuple
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    group_col: str = "lang",
+    order_col: str = "doc_id",
+    bin_size: int = 4096,
+) -> DataFrame:
+    """Greedy first-fit-in-order packing of documents into training
+    sequences of at most ``budget`` tokens.
+
+    Within each ``(group_col, bin)`` — ``bin = floor(order_col /
+    bin_size)`` — documents are visited in ``order_col`` order and
+    appended to the current sequence; a document that would push the
+    running total past ``budget`` starts a new sequence (a single
+    document larger than the budget gets a sequence of its own).
+
+    Output: one row per input document with ``(doc_id-compatible
+    order_col, group_col, bin, chunk_in_bin, n_tokens)`` where
+    ``chunk_in_bin`` is the 0-based sequence index inside the bin; the
+    globally-unique sequence id is the triple (group, bin, chunk_in_bin).
+
+    Deterministic: binning and visit order are pure functions of the key,
+    so the packing is reproducible across runs, partitionings and cluster
+    sizes, and re-expressible as an ordered recursion in ANSI SQL (the
+    driver oracle uses a recursive CTE).
+    """
+    out_schema = (
+        f"{order_col} long, {group_col} string, bin long, "
+        f"chunk_in_bin long, n_tokens long"
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        toks = pdf[token_col].to_numpy()
+        chunk = []
+        cur_chunk = 0
+        cur = 0
+        for t in toks:
+            t = int(t)
+            if cur > 0 and cur + t > budget:
+                cur_chunk += 1
+                cur = 0
+            cur += t
+            chunk.append(cur_chunk)
+        return pd.DataFrame(
+            {
+                order_col: pdf[order_col].to_numpy(),
+                group_col: pdf[group_col].to_numpy(),
+                "bin": pdf["bin"].to_numpy(),
+                "chunk_in_bin": chunk,
+                "n_tokens": toks,
+            }
+        )
+
+    binned = df.select(
+        F.col(order_col),
+        F.col(group_col),
+        F.floor(F.col(order_col) / F.lit(bin_size)).alias("bin"),
+        F.col(token_col).cast("long").alias(token_col),
+    )
+    return binned.groupBy(group_col, "bin").applyInPandas(_pack, out_schema)
+
+
+def _hash_unit(key_col: str) -> Column:
+    """Deterministic uniform draw in [0, 1): first 8 md5 hex chars of the
+    key over 2^32. Pure function of the key (the reproducibility contract
+    of ``quality._hash_bucket``, at 2^-32 granularity instead of 1%);
+    bit-identical in DuckDB as ``('0x' || substr(md5(k), 1, 8))::UBIGINT
+    / 4294967296.0``."""
+    return (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") / F.lit(float(2 ** 32))
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    targets: dict,
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Downsample sources to a target token mixture.
+
+    ``targets`` maps source → desired share of the output token mass
+    (shares need not sum to 1; they are read as ratios). The largest
+    output corpus consistent with the targets is the one where the
+    binding source is kept whole: ``T = min_s(tokens_s / share_s)``;
+    every source then keeps ``share_s * T / tokens_s`` of its token mass,
+    implemented as the key-hash filter ``md5(key)/2^32 < keep_frac_s``
+    (expected token mass, exact in distribution; membership per document
+    stays a pure function of the key). Sources absent from ``targets``
+    are dropped.
+
+    Plan shape: one partial-aggregated groupBy over the corpus for the
+    per-source token totals (|sources| rows), a broadcast join of the
+    resulting fractions, and a narrow filter — no collect, no second
+    wide pass.
+    """
+    shares = F.create_map(
+        *[F.lit(x) for kv in targets.items() for x in kv]
+    )
+    totals = (
+        df.groupBy(source_col)
+        .agg(F.sum(F.col(token_col).cast("long")).alias("_src_tokens"))
+        .withColumn("_share", shares[F.col(source_col)])
+        .filter(F.col("_share").isNotNull())
+    )
+    # T = min over sources of tokens_s / share_s; a tiny two-row plan —
+    # broadcast both the scalar and the per-source fractions back in.
+    t_bound = totals.agg(
+        F.min(F.col("_src_tokens") / F.col("_share")).alias("_t")
+    )
+    fracs = (
+        totals.crossJoin(F.broadcast(t_bound))
+        .select(
+            source_col,
+            (F.col("_share") * F.col("_t") / F.col("_src_tokens")).alias(
+                "_keep_frac"
+            ),
+        )
+    )
+    return (
+        df.join(F.broadcast(fracs), on=source_col, how="inner")
+        .filter(_hash_unit(key_col) < F.col("_keep_frac"))
+        .drop("_keep_frac")
+    )

@@ -2370,6 +2370,101 @@ def _q_title_select():
     return q, sql
 
 
+def _q_pack_sequences():
+    """Greedy token-budget sequence packing (training-batch construction):
+    docs packed first-fit in doc_id order into ≤160-token sequences inside
+    bounded (lang, bin) units — the parallel decomposition that survives
+    10^12 docs (operators/packing.py). Oracle: the same greedy recursion as
+    an ordered recursive CTE."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.packing import pack_sequences
+        from pdf2doi_spark.operators.quality import tokens
+
+        d = _docs(spark, sf_dir)
+        # token count inlined (same whitespace contract as token_count) —
+        # a join against token_count's output would add a shuffle for
+        # nothing
+        inp = d.select(
+            "doc_id", "lang",
+            F.size(tokens(F.col("text"))).alias("n_tokens"),
+        )
+        return pack_sequences(
+            inp, budget=160, group_col="lang", order_col="doc_id",
+            bin_size=64,
+        ).orderBy("doc_id")
+
+    sql = r"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, lang, doc_id // 64 AS bin,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                 END AS n_tokens
+          FROM documents
+        ), o AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY lang, bin ORDER BY doc_id) AS rn
+          FROM t
+        ), packed AS (
+          SELECT doc_id, lang, bin, n_tokens, rn,
+                 CAST(0 AS BIGINT) AS chunk_in_bin, n_tokens AS cum
+          FROM o WHERE rn = 1
+          UNION ALL
+          SELECT o.doc_id, o.lang, o.bin, o.n_tokens, o.rn,
+                 CASE WHEN p.cum > 0 AND p.cum + o.n_tokens > 160
+                      THEN p.chunk_in_bin + 1 ELSE p.chunk_in_bin END,
+                 CASE WHEN p.cum > 0 AND p.cum + o.n_tokens > 160
+                      THEN o.n_tokens ELSE p.cum + o.n_tokens END
+          FROM o JOIN packed p
+            ON o.lang = p.lang AND o.bin = p.bin AND o.rn = p.rn + 1
+        )
+        SELECT doc_id, lang, bin, chunk_in_bin, n_tokens
+        FROM packed ORDER BY doc_id
+    """
+    return q, sql
+
+
+def _q_mixture_sample():
+    """Source-mixture downsampling to a target token-share per source:
+    keep-fractions derived from per-source token totals (binding source
+    kept whole), membership a pure md5 function of doc_id — reproducible
+    across engines/runs/cluster sizes (operators/packing.py)."""
+    targets = {"src1": 0.5, "src2": 0.3, "src3": 0.2}
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.packing import mixture_sample
+
+        d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+        return (
+            mixture_sample(d, targets, token_col="n_chars")
+            .select("doc_id", "source", "n_chars")
+            .orderBy("doc_id")
+        )
+
+    shares = " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in targets.items()
+    )
+    sql = f"""
+        WITH totals AS (
+          SELECT source,
+                 CAST(sum(n_chars) AS DOUBLE) AS src_tokens,
+                 CASE source {shares} ELSE NULL END AS share
+          FROM documents GROUP BY source
+        ), bound AS (
+          SELECT min(src_tokens / share) AS t FROM totals
+          WHERE share IS NOT NULL
+        ), fracs AS (
+          SELECT source, share * t / src_tokens AS keep_frac
+          FROM totals, bound WHERE share IS NOT NULL
+        )
+        SELECT d.doc_id, d.source, d.n_chars
+        FROM documents d JOIN fracs f USING (source)
+        WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              / 4294967296.0 < f.keep_frac
+        ORDER BY d.doc_id
+    """
+    return q, sql
+
+
 # --------------------------------------------------------------------------
 # Registry.
 # --------------------------------------------------------------------------
@@ -2435,6 +2530,8 @@ _BUILDERS = {
     "tpch_q3": _q_tpch_q3,
     "metrics_cube": _q_metrics_cube,
     "distinct_counts": _q_distinct_counts,
+    "pack_sequences": _q_pack_sequences,
+    "mixture_sample": _q_mixture_sample,
 }
 
 

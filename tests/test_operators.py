@@ -1018,3 +1018,84 @@ def test_merge_cache_idempotent_remerge_rewrites_nothing(spark, tmp_path):
         for f in glob.glob(f"{cache_path}/shard=*/*.parquet")
     }
     assert before == after, "idempotent re-merge rewrote shard files"
+
+
+# ---------------------------------------------------------------- packing
+
+def test_pack_sequences_budget_order_and_determinism(spark):
+    """Greedy packing: per-sequence totals never exceed the budget (except
+    a single oversize doc), sequences are contiguous runs in visit order,
+    chunk indexes are dense from 0, and the packing is invariant to the
+    input partitioning (pure function of the data)."""
+    from pdf2doi_spark.operators.packing import pack_sequences
+
+    rows = [(i, "en" if i % 2 == 0 else "fr", 10 + (i * 37) % 90)
+            for i in range(300)]
+    inp = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = pack_sequences(inp, budget=120, bin_size=64).toPandas()
+    assert len(out) == 300
+    grp = out.groupby(["lang", "bin", "chunk_in_bin"])
+    totals = grp["n_tokens"].sum()
+    singles = grp.size()
+    assert ((totals <= 120) | (singles == 1)).all()
+    # contiguity: within (lang, bin), chunk index is non-decreasing in
+    # doc_id order and dense from 0
+    for (_, _), g in out.groupby(["lang", "bin"]):
+        seq = g.sort_values("doc_id")["chunk_in_bin"].to_numpy()
+        assert (np.diff(seq) >= 0).all() and (np.diff(seq) <= 1).all()
+        assert seq[0] == 0
+    again = pack_sequences(inp.repartition(13), budget=120, bin_size=64) \
+        .toPandas()
+    key = ["doc_id"]
+    assert out.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True))
+
+
+def test_pack_sequences_oversize_doc_gets_own_chunk(spark):
+    from pdf2doi_spark.operators.packing import pack_sequences
+
+    inp = spark.createDataFrame(
+        [(0, "en", 50), (1, "en", 500), (2, "en", 50), (3, "en", 40)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    out = pack_sequences(inp, budget=100, bin_size=64).toPandas() \
+        .sort_values("doc_id")
+    assert list(out["chunk_in_bin"]) == [0, 1, 2, 2]
+
+
+def test_mixture_sample_binding_source_kept_whole(spark):
+    """The binding source (smallest tokens/share ratio) must be kept in
+    full; every other source is downsampled toward its target share; and
+    membership is a pure function of the key (identical across reruns and
+    partitionings)."""
+    from pdf2doi_spark.operators.packing import mixture_sample
+
+    rows = []
+    for i in range(3000):
+        src = ["small", "big", "huge"][0 if i < 200 else (1 if i < 1200 else 2)]
+        rows.append((i, src, 100))
+    inp = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    targets = {"small": 0.2, "big": 0.3, "huge": 0.5}
+    out = mixture_sample(inp, targets).toPandas()
+    by_src = out.groupby("source").size()
+    # small: 200 docs / share 0.2 -> T = 100k tokens; small keeps all 200
+    assert by_src["small"] == 200
+    # big keeps ~ 0.3*100k/100 = 300 of 1000; huge ~ 500 of 1800
+    assert abs(by_src["big"] - 300) < 60
+    assert abs(by_src["huge"] - 500) < 80
+    again = mixture_sample(inp.repartition(7), targets).toPandas()
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])
+
+
+def test_mixture_sample_broadcasts_fractions(spark):
+    """The per-source fraction join must be a broadcast (the corpus side
+    never shuffles on source)."""
+    from pdf2doi_spark.operators.packing import mixture_sample
+
+    inp = spark.createDataFrame(
+        [(i, f"s{i % 4}", 10) for i in range(100)],
+        "doc_id long, source string, n_tokens long",
+    )
+    plan = mixture_sample(inp, {"s0": 0.5, "s1": 0.5})._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
