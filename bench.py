@@ -60,6 +60,8 @@ HEADLINE = [
     "domain_counts_salted",
     "tpch_q1",
     "tpch_q3",
+    "pack_sequences",
+    "mixture_sample",
 ]
 
 
