@@ -63,8 +63,9 @@ def pack_sequences(
     sizes, and re-expressible as an ordered recursion in ANSI SQL (the
     driver oracle uses a recursive CTE).
     """
+    group_type = dict(df.dtypes)[group_col]
     out_schema = (
-        f"{order_col} long, {group_col} string, bin long, "
+        f"{order_col} long, {group_col} {group_type}, bin long, "
         f"chunk_in_bin long, n_tokens long"
     )
 

@@ -1099,3 +1099,16 @@ def test_mixture_sample_broadcasts_fractions(spark):
     plan = mixture_sample(inp, {"s0": 0.5, "s1": 0.5})._jdf \
         .queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_nonstring_group_key(spark):
+    from pdf2doi_spark.operators.packing import pack_sequences
+
+    inp = spark.createDataFrame(
+        [(0, 7, 40), (1, 7, 40), (2, 7, 40), (3, 9, 40)],
+        "doc_id long, shard int, n_tokens long",
+    )
+    out = pack_sequences(inp, budget=100, group_col="shard",
+                         bin_size=64).toPandas().sort_values("doc_id")
+    assert list(out["chunk_in_bin"]) == [0, 0, 1, 0]
+    assert out["shard"].dtype.kind == "i"
