@@ -1,7 +1,8 @@
 """Driver-gate queries re-run over an ADVERSARIAL mini documents table —
 rows the deterministic sf fixtures never contain (short texts, empty and
 whitespace-only strings, NBSP-joined tokens, exact duplicates, unicode).
-Every oracle must still match exactly: this is the guard against
+Sources are named src1-3 so mixture_sample's fixed targets hit them
+(non-vacuous). Every oracle must still match exactly: this is the guard against
 divergences that are latent on the well-behaved synthetic data (the round-2
 review found several of that species).
 
@@ -20,16 +21,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tests.test_driver_contract import _canon
 
 ROWS = [
-    (0, "The quick brown fox jumps over the lazy dog near the bank today.", "en", "srcA"),
-    (1, "tiny", "en", "srcA"),                      # <3 words, <12 chars
-    (2, "", "en", "srcB"),                           # empty text
-    (3, "   \t  \n ", "en", "srcB"),                # whitespace-only
-    (4, "hello world foo bar baz qux quux corge grault", "fr", "srcA"),  # NBSP-joined token
-    (5, "The quick brown fox jumps over the lazy dog near the bank today.", "en", "srcC"),  # dup of 0
-    (6, "Ein längerer deutscher Satz, der die Wörter und nicht nur Zeichen prüft.", "de", "srcC"),
-    (7, "word " * 40 + "ending.", "en", "srcA"),    # highly repetitive
-    (8, "10.1234/j.adversarial.1 appears right here in plain text body", "en", "srcB"),
-    (9, "a b", "en", "srcC"),                        # 2 words: below shingle floor
+    (0, "The quick brown fox jumps over the lazy dog near the bank today.", "en", "src1"),
+    (1, "tiny", "en", "src1"),                      # <3 words, <12 chars
+    (2, "", "en", "src2"),                           # empty text
+    (3, "   \t  \n ", "en", "src2"),                # whitespace-only
+    (4, "hello world foo bar baz qux quux corge grault", "fr", "src1"),  # NBSP-joined token
+    (5, "The quick brown fox jumps over the lazy dog near the bank today.", "en", "src3"),  # dup of 0
+    (6, "Ein längerer deutscher Satz, der die Wörter und nicht nur Zeichen prüft.", "de", "src3"),
+    (7, "word " * 40 + "ending.", "en", "src1"),    # highly repetitive
+    (8, "10.1234/j.adversarial.1 appears right here in plain text body", "en", "src2"),
+    (9, "a b", "en", "src3"),                        # 2 words: below shingle floor
 ]
 
 CHECKED = [
@@ -38,7 +39,7 @@ CHECKED = [
     "simhash_near_dups", "line_dedup", "winnowing_sketch",
     "minhash_bands", "minhash_near_dups", "repetition_signals",
     "corpus_pipeline", "doi_tier0", "ascii_scrub", "hash_sample",
-    "metrics_cube", "distinct_counts",
+    "metrics_cube", "distinct_counts", "pack_sequences", "mixture_sample",
 ]
 
 
