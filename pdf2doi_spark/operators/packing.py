@@ -61,7 +61,10 @@ def pack_sequences(
     Deterministic: binning and visit order are pure functions of the key,
     so the packing is reproducible across runs, partitionings and cluster
     sizes, and re-expressible as an ordered recursion in ANSI SQL (the
-    driver oracle uses a recursive CTE).
+    driver oracle uses a recursive CTE). ``order_col`` values must be
+    unique within a group: ties would be broken by arrival order, which
+    is partition-dependent (and the SQL oracle's row_number would break
+    them arbitrarily too).
     """
     group_type = dict(df.dtypes)[group_col]
     out_schema = (
