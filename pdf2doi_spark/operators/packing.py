@@ -78,12 +78,18 @@ def pack_sequences(
         chunk = []
         cur_chunk = 0
         cur = 0
+        first = True
         for t in toks:
             t = int(t)
-            if cur > 0 and cur + t > budget:
+            # every doc after the first starts a new chunk when it would
+            # overflow — no cur>0 guard: that would let an oversize doc
+            # ride along with a preceding zero-token doc and break the
+            # budget invariant
+            if not first and cur + t > budget:
                 cur_chunk += 1
                 cur = 0
             cur += t
+            first = False
             chunk.append(cur_chunk)
         return pd.DataFrame(
             {
@@ -98,22 +104,26 @@ def pack_sequences(
     binned = df.select(
         F.col(order_col),
         F.col(group_col),
-        F.floor(F.col(order_col) / F.lit(bin_size)).alias("bin"),
+        # integer division (`div`), NOT floor(a/b): exact at 64-bit (no
+        # double rounding above 2^53) and truncation-consistent with the
+        # oracle's DuckDB `//`
+        F.expr(f"CAST(`{order_col}` div {int(bin_size)} AS BIGINT)").alias(
+            "bin"
+        ),
         F.col(token_col).cast("long").alias(token_col),
     )
     return binned.groupBy(group_col, "bin").applyInPandas(_pack, out_schema)
 
 
 def _hash_unit(key_col: str) -> Column:
-    """Deterministic uniform draw in [0, 1): first 8 md5 hex chars of the
-    key over 2^32. Pure function of the key (the reproducibility contract
-    of ``quality._hash_bucket``, at 2^-32 granularity instead of 1%);
-    bit-identical in DuckDB as ``('0x' || substr(md5(k), 1, 8))::UBIGINT
-    / 4294967296.0``."""
-    return (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
-        .cast("long") / F.lit(float(2 ** 32))
-    )
+    """Deterministic uniform draw in [0, 1): the shared
+    ``quality._md5_int32`` draw over 2^32 (2^-32 granularity instead of
+    ``_hash_bucket``'s 1%); bit-identical in DuckDB as ``('0x' ||
+    substr(md5(k), 1, 8))::UBIGINT / 4294967296.0`` (exact: integer over
+    a power of two)."""
+    from pdf2doi_spark.operators.quality import _md5_int32
+
+    return _md5_int32(key_col) / F.lit(float(2 ** 32))
 
 
 def mixture_sample(

@@ -170,15 +170,22 @@ def ascii_scrub(df: DataFrame, text_col: str = "text", n_chars: int = None) -> D
     )
 
 
-def _hash_bucket(key_col: str) -> Column:
-    """The shared cross-engine sampling bucket: first 8 md5 hex chars of
-    the key, as an integer mod 100. ONE definition — both samplers and any
-    future membership check must use it or their subsets silently
-    diverge."""
+def _md5_int32(key_col: str) -> Column:
+    """The shared cross-engine integer draw: first 8 md5 hex chars of the
+    key as an integer in [0, 2^32). ONE definition — every membership
+    check (percent buckets here, unit-interval draws in
+    ``packing.mixture_sample``) must derive from it or their subsets
+    silently diverge. DuckDB equivalent:
+    ``('0x' || substr(md5(k), 1, 8))::UBIGINT``."""
     return (
         F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
+        .cast("long")
     )
+
+
+def _hash_bucket(key_col: str) -> Column:
+    """Percent bucket over the shared draw (``_md5_int32 mod 100``)."""
+    return _md5_int32(key_col) % 100
 
 
 def hash_sample(df: DataFrame, pct: float = 20.0,

@@ -2410,9 +2410,9 @@ def _q_pack_sequences():
           FROM o WHERE rn = 1
           UNION ALL
           SELECT o.doc_id, o.lang, o.bin, o.n_tokens, o.rn,
-                 CASE WHEN p.cum > 0 AND p.cum + o.n_tokens > 160
+                 CASE WHEN p.cum + o.n_tokens > 160
                       THEN p.chunk_in_bin + 1 ELSE p.chunk_in_bin END,
-                 CASE WHEN p.cum > 0 AND p.cum + o.n_tokens > 160
+                 CASE WHEN p.cum + o.n_tokens > 160
                       THEN o.n_tokens ELSE p.cum + o.n_tokens END
           FROM o JOIN packed p
             ON o.lang = p.lang AND o.bin = p.bin AND o.rn = p.rn + 1

@@ -183,6 +183,12 @@ def merge_cache(spark: SparkSession, cache_path: str, results: DataFrame,
 
     try:
         if fs_exists(spark, cache_path):
+            # pin the modulus NOW, not only after a successful write: the
+            # idempotent-re-merge early returns below skip the write path,
+            # and a freshly-migrated (or crash-recovered) cache would
+            # otherwise stay unpinned — a later merge under a different
+            # n_shards would then anti-join against the wrong shard set.
+            _fs_write_small(spark, marker, str(n_shards))
             # touched shards = the (small) distinct-shard set of the new
             # batch; collected on the driver to build a partition-pruning
             # filter for the old-side scan (bounded by n_shards values,
@@ -199,12 +205,24 @@ def merge_cache(spark: SparkSession, cache_path: str, results: DataFrame,
             # Rows ALREADY in the cache with identical values are no-ops —
             # dropping them first makes an idempotent re-merge (job restart,
             # recrawl of an unchanged corpus) rewrite ZERO shards instead of
-            # re-churning every shard its hits map into.
-            new = new.join(
-                old_touched,
-                ["url", "identifier", "identifier_type", "method", "shard"],
-                "left_anti",
-            ).persist()
+            # re-churning every shard its hits map into. Null-safe equality:
+            # identifier_type/method can be NULL, and NULL = NULL is never
+            # true under plain equality, so such rows would count as "new"
+            # and re-churn their shard on every merge forever.
+            old_cmp = old_touched.select(
+                *[F.col(c).alias(f"_old_{c}") for c in
+                  ("url", "identifier", "identifier_type", "method",
+                   "shard")]
+            )
+            same = [
+                new[c].eqNullSafe(old_cmp[f"_old_{c}"])
+                for c in ("url", "identifier", "identifier_type", "method",
+                          "shard")
+            ]
+            cond = same[0]
+            for c in same[1:]:
+                cond = cond & c
+            new = new.join(old_cmp, cond, "left_anti").persist()
             pinned.append(new)
             touched = sorted(
                 r["shard"] for r in new.select("shard").distinct().collect()
@@ -332,6 +350,21 @@ def run_resumable(
                 F.col("shard").isin(*sorted(done))
             )
         )
+    # This run covered every not-yet-done shard, so shards with no rows in
+    # the manifest simply had no input urls hashing into them — record them
+    # done (n_docs 0) too, or the O(1) restart short-circuit above would
+    # never fire for inputs that leave some of the n_shards buckets empty.
+    manifest = manifest.unionByName(
+        spark.range(n_shards)
+        .select(F.col("id").cast("int").alias("shard"))
+        .join(manifest.select("shard"), "shard", "left_anti")
+        .select(
+            "shard",
+            F.lit("done").alias("status"),
+            F.lit(0).cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("n_hits"),
+        )
+    )
     tmp = manifest_path + ".tmp"
     manifest.write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp).write.mode("overwrite").parquet(manifest_path)

@@ -1112,3 +1112,85 @@ def test_pack_sequences_nonstring_group_key(spark):
                          bin_size=64).toPandas().sort_values("doc_id")
     assert list(out["chunk_in_bin"]) == [0, 0, 1, 0]
     assert out["shard"].dtype.kind == "i"
+
+
+def test_pack_sequences_zero_token_doc_then_oversize(spark):
+    """A zero-token doc must not let a following oversize doc ride along in
+    its chunk (budget invariant: every chunk is <= budget or a single
+    doc)."""
+    from pdf2doi_spark.operators.packing import pack_sequences
+
+    inp = spark.createDataFrame(
+        [(0, "en", 0), (1, "en", 500), (2, "en", 50)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    out = pack_sequences(inp, budget=100, bin_size=64).toPandas() \
+        .sort_values("doc_id")
+    assert list(out["chunk_in_bin"]) == [0, 1, 2]
+    grp = out.groupby("chunk_in_bin")
+    assert ((grp["n_tokens"].sum() <= 100) | (grp.size() == 1)).all()
+
+
+def test_pack_sequences_negative_and_large_keys_match_duckdb(spark):
+    """Bin assignment must agree with the oracle's integer `//` for
+    negative and >2^53 order keys (exact integer division, no double
+    rounding)."""
+    from pdf2doi_spark.operators.packing import pack_sequences
+
+    big = 2 ** 54 - 1
+    rows = [(-5, "en", 10), (-70, "en", 10), (0, "en", 10), (big, "en", 10)]
+    inp = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    got = pack_sequences(inp, budget=100, bin_size=64).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = duckdb.sql(
+        "SELECT doc_id, doc_id // 64 AS bin FROM (VALUES (-5), (-70), (0), "
+        f"({big})) t(doc_id) ORDER BY doc_id"
+    ).df()
+    assert list(got["bin"]) == list(want["bin"].astype("int64"))
+
+
+def test_merge_cache_idempotent_with_null_columns(spark, tmp_path):
+    """Rows with NULL identifier_type/method must still be recognized as
+    identical on re-merge (null-safe anti-join) — zero shard rewrites."""
+    import glob
+
+    from pdf2doi_spark.sources.io import merge_cache
+
+    cache_path = str(tmp_path / "cache.parquet")
+    schema = ("url string, identifier string, identifier_type string, "
+              "method string, tier int")
+    base = spark.createDataFrame(
+        [(f"https://h{i}.org/p", f"10.1/{i}", None, None, 1)
+         for i in range(50)], schema,
+    )
+    merge_cache(spark, cache_path, base, n_shards=8)
+    before = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{cache_path}/shard=*/*.parquet")
+    }
+    merge_cache(spark, cache_path, base, n_shards=8)
+    after = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{cache_path}/shard=*/*.parquet")
+    }
+    assert before == after, "NULL-keyed re-merge rewrote shard files"
+
+
+def test_run_resumable_short_circuits_with_empty_shards(spark, tmp_path):
+    """A completed run whose input leaves some shards empty must still
+    restart O(1): empty shards are recorded done in the manifest."""
+    from pdf2doi_spark.sources.io import run_resumable
+
+    pages = spark.createDataFrame(
+        [(f"https://h{i}.org/p", bytearray(b"<html></html>"), "t")
+         for i in range(5)],
+        "url string, html binary, text string",
+    )
+    out = str(tmp_path / "run")
+    run_resumable(spark, pages, out, n_shards=64)
+    man = spark.read.parquet(f"{out}/manifest")
+    assert man.count() == 64  # every shard has a done row, incl. empties
+    assert man.agg(F.sum("n_docs")).first()[0] == 5
+    # restart: all-done short-circuit (no extraction pass) returns results
+    res = run_resumable(spark, pages, out, n_shards=64)
+    assert res.count() == 5
