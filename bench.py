@@ -62,6 +62,12 @@ HEADLINE = [
     "tpch_q3",
     "pack_sequences",
     "mixture_sample",
+    # round-3 consolidated driver queries (the pre-consolidation names
+    # above stay timed for cross-round comparability)
+    "quality_suite",
+    "doc_signals",
+    "exact_dedup",
+    "dedup_bucket_profile",
 ]
 
 
@@ -228,7 +234,7 @@ def main() -> None:
         return
 
     from pdf2doi_spark.session import build_session
-    from pdf2doi_spark.queries import build_queries
+    from pdf2doi_spark.queries import build_all_queries
 
     spark = build_session(master=f"local[{CPUS}]", app_name="bench",
                           extra_conf=_BENCH_READ_CONF)
@@ -282,7 +288,7 @@ def main() -> None:
         counter_stats["missheavy_n_docs"] = n_miss
         counter_stats["missheavy_docs_per_sec"] = round(n_miss / dt_m, 1)
         counter_stats["missheavy_ids_only_docs_per_sec"] = round(n_miss / dt_mi, 1)
-        qs = build_queries()
+        qs = build_all_queries()
         for name in HEADLINE:
             dt, _, _runs = _timed(qs[name](spark, SF_DIR))
             timings[name] = round(dt, 3)

@@ -106,7 +106,12 @@ def main() -> None:
         pages = resolve_pages_source(spark, args.target, glob=args.glob)
 
         cache_df = None
-        if args.cache and os.path.exists(args.cache):
+        # fs_exists, not os.path.exists: an hdfs://s3a:// cache path is
+        # invisible to os.path and would silently skip the method-#1 fast
+        # path (the exact failure mode io.py's fs layer exists to prevent)
+        from pdf2doi_spark.sources.io import fs_exists
+
+        if args.cache and fs_exists(spark, args.cache):
             cache_df = spark.read.parquet(args.cache)
         counters = None
         if args.verbose:

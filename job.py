@@ -64,6 +64,10 @@ def main() -> None:
             if fs_exists(spark, args.cache):
                 cache = spark.read.parquet(args.cache)
 
+        # Write-once contract: --output belongs to ONE logical input. A
+        # sealed output dir (all shards done) short-circuits to the stored
+        # results and never re-examines --input — point a new/grown crawl
+        # at a fresh --output (run_resumable warns if the seal fires).
         results = run_resumable(
             spark,
             pages,

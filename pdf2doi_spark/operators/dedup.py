@@ -309,18 +309,10 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
 _SIMHASH_BANDS = 4  # 4 × 16-bit chunks
 
 
-def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
-                            max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
-
-    Candidate generation bands the 64-bit fingerprint into four 16-bit
-    chunks and self-joins on (band_idx, chunk): by pigeonhole, any pair
-    with ≤ 3 differing bits shares at least one chunk exactly, so recall is
-    complete for max_hamming ≤ 3 (probabilistic above). The join shuffles
-    on the small banded key — never all-pairs.
-    """
-    s = simhash(df, text_col)
-    bands = s.select(
+def _simhash_bands(s: DataFrame) -> DataFrame:
+    """(doc_id, simhash) → (doc_id, simhash, band_idx, chunk): the 64-bit
+    fingerprint split into four 16-bit pigeonhole chunks."""
+    return s.select(
         "doc_id",
         "simhash",
         F.explode(
@@ -337,6 +329,55 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
         ).alias("b"),
     ).select("doc_id", "simhash", F.col("b.band_idx").alias("band_idx"),
              F.col("b.chunk").alias("chunk"))
+
+
+def simhash_bucket_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bucket-size distribution of the SimHash pigeonhole bands —
+    ``minhash_bucket_profile``'s counterpart for the simhash join key.
+    Run it BEFORE choosing ``max_bucket``: each band has only 65,536
+    possible chunk values, so near-identical boilerplate corpora
+    concentrate fingerprints into hot chunks, and one hot chunk of B docs
+    emits B² candidate rows."""
+    b = _simhash_bands(simhash(df, text_col))
+    return (
+        b.groupBy("band_idx", "chunk")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .groupBy("bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .orderBy(F.desc("bucket_size"))
+    )
+
+
+def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
+                            max_hamming: int = 3,
+                            max_bucket: int | None = None) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Candidate generation bands the 64-bit fingerprint into four 16-bit
+    chunks and self-joins on (band_idx, chunk): by pigeonhole, any pair
+    with ≤ 3 differing bits shares at least one chunk exactly, so recall is
+    complete for max_hamming ≤ 3 (probabilistic above). The join shuffles
+    on the small banded key — never all-pairs.
+
+    ``max_bucket`` is the production skew guard, same contract as
+    ``minhash_candidate_pairs``: chunk buckets with more members are
+    excluded from the join outright, bounding the B² blowup a hot chunk
+    value would emit (the banding is inherently capped at 65,536 buckets
+    per band, so at crawl scale hot chunks are a certainty, not a tail
+    risk). The traded-away recall is near-identical boilerplate that exact
+    dedup removes more cheaply first — run exact dedup before this
+    operator, and audit the cap against ``simhash_bucket_profile``. A pair
+    sharing one capped and one surviving chunk is still found via the
+    surviving band."""
+    bands = _simhash_bands(simhash(df, text_col))
+    if max_bucket is not None:
+        ok = (
+            bands.groupBy("band_idx", "chunk")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band_idx", "chunk")
+        )
+        bands = bands.join(ok, ["band_idx", "chunk"])
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))

@@ -275,6 +275,19 @@ def extract_identifiers(pages: DataFrame, replace_arxiv: bool = True,
     recrawled urls and, in streaming, accumulates unbounded join state.
     """
     passthrough = list(passthrough or [])
+    # a passthrough name colliding with a result column (or the kernel's
+    # own inputs) would put duplicate fields in the output schema string
+    # and silently overwrite a computed column before a confusing runtime
+    # failure — reject it up front
+    _reserved = {"url", "html", "text"} | {
+        f.split()[0] for f in RESULT_SCHEMA.split(", ")
+    }
+    bad = [c for c in passthrough if c in _reserved]
+    if bad:
+        raise ValueError(
+            f"passthrough column(s) {bad} collide with the result/input "
+            f"schema ({sorted(_reserved)}); rename them upstream"
+        )
     cols = ["url", "html", "text"] + passthrough
     df = pages.select(*cols)
     if cache is not None:

@@ -64,7 +64,11 @@ def pack_sequences(
     driver oracle uses a recursive CTE). ``order_col`` values must be
     unique within a group: ties would be broken by arrival order, which
     is partition-dependent (and the SQL oracle's row_number would break
-    them arbitrarily too).
+    them arbitrarily too). ``order_col`` and ``token_col`` must also be
+    NON-NULL: NULL longs arrive in the pandas group as NaN, where a NaN
+    token breaks the budget arithmetic and a NaN order key makes the
+    visit order undefined — the kernel fails fast with a clear error
+    instead of a bare ``ValueError`` from ``int(nan)`` mid-executor.
     """
     group_type = dict(df.dtypes)[group_col]
     out_schema = (
@@ -73,6 +77,14 @@ def pack_sequences(
     )
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf[order_col].isna().any() or pdf[token_col].isna().any():
+            raise ValueError(
+                f"pack_sequences: NULL {order_col!r}/{token_col!r} values "
+                f"in group {pdf[group_col].iloc[0]!r} — both columns must "
+                "be non-null (NULL order keys make the deterministic visit "
+                "order undefined; NULL token counts break the budget "
+                "arithmetic). Filter or impute upstream."
+            )
         pdf = pdf.sort_values(order_col, kind="mergesort")
         toks = pdf[token_col].to_numpy()
         chunk = []

@@ -48,25 +48,30 @@ def tokens(col: Column) -> Column:
     )
 
 
+def token_count_cols(text_col: Column) -> list:
+    """The aliased column set behind ``token_count`` — exposed so the fused
+    ``quality_suite`` can project the identical expressions without a
+    self-join (one definition, no drift between the per-signal operator and
+    the suite)."""
+    t = F.trim(text_col)
+    nospace = F.length(F.regexp_replace(t, r"\s+", ""))
+    return [
+        F.size(tokens(text_col)).alias("n_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0)).alias("n_bpe_tokens"),
+        F.ceil(nospace / F.lit(4)).cast("long").alias("n_subword_est"),
+    ]
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count, a BPE-ish regex token count (GPT-style
     pre-tokenizer pieces), and a 4-chars/token subword estimate — all
     native expressions."""
-    t = F.trim(F.col(text_col))
-    nospace = F.length(F.regexp_replace(t, r"\s+", ""))
-    return df.select(
-        F.col("doc_id"),
-        F.size(tokens(F.col(text_col))).alias("n_tokens"),
-        F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0)).alias("n_bpe_tokens"),
-        F.ceil(nospace / F.lit(4)).cast("long").alias("n_subword_est"),
-    )
+    return df.select(F.col("doc_id"), *token_count_cols(F.col(text_col)))
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Marker-word-ratio language heuristic over 5 fixed banks: per-language
-    marker-hit ratio → argmax (ties broken by language code order); 'other'
-    when no bank clears 2%. One narrow map, no shuffle."""
-    toks = tokens(F.lower(F.col(text_col)))
+def lang_id_cols(text_col: Column) -> list:
+    """Column set behind ``lang_id`` (see ``token_count_cols``)."""
+    toks = tokens(F.lower(text_col))
     total = F.size(toks)
     def _marker_ratio(markers):
         # closure factory keeps the F.filter lambda UNARY (a second param
@@ -89,18 +94,25 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
             else pred_expr.when(cond, F.lit(lang))
         )
     pred = pred_expr.otherwise(F.lit("other"))
-    return df.select(
-        F.col("doc_id"),
+    return [
         F.round(ratios["en"], 6).alias("en_marker_ratio"),
         F.round(best, 6).alias("best_marker_ratio"),
         pred.alias("lang_pred"),
-    )
+    ]
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Composite quality features: length, mean word length, punctuation
-    ratio, stopword ratio — the standard cheap pre-training filters."""
-    t = F.col(text_col)
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word-ratio language heuristic over 5 fixed banks: per-language
+    marker-hit ratio → argmax (ties broken by language code order); 'other'
+    when no bank clears 2%. One narrow map, no shuffle."""
+    return df.select(F.col("doc_id"), *lang_id_cols(F.col(text_col)))
+
+
+def quality_score_cols(text_col: Column, with_n_tokens: bool = True) -> list:
+    """Column set behind ``quality_score``. ``with_n_tokens=False`` drops
+    the ``n_tokens`` column for callers (the suite) that already project it
+    via ``token_count_cols`` — same expression, so nothing is lost."""
+    t = text_col
     toks = tokens(F.lower(t))
     n_tok = F.size(toks)
     n_chars = F.length(t)
@@ -114,15 +126,22 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.when(stop_ratio > 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
         + F.when(punct_ratio < 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
     )
-    return df.select(
-        F.col("doc_id"),
-        n_chars.alias("n_chars_seen"),
-        n_tok.alias("n_tokens"),
+    cols = [n_chars.alias("n_chars_seen")]
+    if with_n_tokens:
+        cols.append(n_tok.alias("n_tokens"))
+    cols += [
         F.round(mean_wl, 6).alias("mean_word_len"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(score, 2).alias("quality_score"),
-    )
+    ]
+    return cols
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality features: length, mean word length, punctuation
+    ratio, stopword ratio — the standard cheap pre-training filters."""
+    return df.select(F.col("doc_id"), *quality_score_cols(F.col(text_col)))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -153,20 +172,51 @@ def winnowing_sketch(df: DataFrame, text_col: str = "text", n: int = 3,
     return df.select(F.col("doc_id"), sketch.alias("sketch"))
 
 
+def ascii_scrub_col(text_col: Column, n_chars: int = None) -> Column:
+    """The scrub expression behind ``ascii_scrub`` (see
+    ``token_count_cols``), aliased ``scrubbed_text``."""
+    if n_chars is None:
+        from pdf2doi_spark.config import config
+
+        n_chars = int(config.get("N_characters_in_pdf"))
+    scrubbed = F.regexp_replace(text_col, r"[^\x00-\x7f]", " ")
+    folded = F.translate(scrubbed, "\n\r\t", "   ")
+    return F.substring(folded, 1, n_chars).alias("scrubbed_text")
+
+
 def ascii_scrub(df: DataFrame, text_col: str = "text", n_chars: int = None) -> DataFrame:
     """Reference F11 (finders.py:844-852): non-ASCII → space, fold
     newline/CR/tab to space, truncate to the first ``n_chars`` characters —
     fully native (regexp_replace + translate + substring). ``n_chars``
     defaults to the reference's ``N_characters_in_pdf`` setting (1000),
     overridable via ``pdf2doi_spark.config``."""
-    if n_chars is None:
-        from pdf2doi_spark.config import config
-
-        n_chars = int(config.get("N_characters_in_pdf"))
-    scrubbed = F.regexp_replace(F.col(text_col), r"[^\x00-\x7f]", " ")
-    folded = F.translate(scrubbed, "\n\r\t", "   ")
     return df.select(
-        F.col("doc_id"), F.substring(folded, 1, n_chars).alias("scrubbed_text")
+        F.col("doc_id"), ascii_scrub_col(F.col(text_col), n_chars)
+    )
+
+
+def quality_suite(df: DataFrame, text_col: str = "text",
+                  scrub_col: Column = None,
+                  scrub_chars: int = None) -> DataFrame:
+    """Every narrow-map quality signal in ONE projection over ONE scan:
+    token counts, language-ID, quality score, document fingerprint, and the
+    ASCII scrub. The per-signal operators stay the composable units; this
+    fused form is what a production pipeline runs (and what the driver
+    gate checks) — no self-joins, no shuffle, one whole-stage-codegen span.
+
+    ``scrub_col`` optionally points the scrub at a different input column/
+    expression than the signals (the driver query scrubs a deliberately
+    non-ASCII-noised variant of ``text`` to keep the scrub check
+    non-vacuous)."""
+    t = F.col(text_col)
+    scrub_src = scrub_col if scrub_col is not None else t
+    return df.select(
+        F.col("doc_id"),
+        *token_count_cols(t),
+        *lang_id_cols(t),
+        *quality_score_cols(t, with_n_tokens=False),
+        F.md5(norm_text(t)).alias("fp"),
+        ascii_scrub_col(scrub_src, scrub_chars),
     )
 
 
@@ -233,13 +283,22 @@ def compression_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
     (see queries._q_compression_ratio), which pins the distributed plumbing
     exactly; a tolerance pytest pins the discrimination property.
     """
+    return df.select(
+        F.col("doc_id"),
+        zlib_ratio_col(F.col(text_col)).alias("compression_ratio"),
+    )
+
+
+def zlib_ratio_col(text_col: Column) -> Column:
+    """The Arrow-batched zlib-ratio column behind ``compression_ratio``
+    (see ``token_count_cols`` for why the column form is exposed)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def _ratio(texts: pd.Series) -> pd.Series:
         return texts.map(zlib_ratio)
 
-    return df.select(F.col("doc_id"), _ratio(F.col(text_col)).alias("compression_ratio"))
+    return _ratio(text_col)
 
 
 def zlib_ratio(t) -> float:
@@ -254,19 +313,11 @@ def zlib_ratio(t) -> float:
     return round(len(zlib.compress(raw, 6)) / len(raw), 6)
 
 
-def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Repetition-based quality signals (Gopher-style), all native:
-
-    * ``dup_line_frac``   — 1 − distinct/total over newline-split lines;
-    * ``top_word_frac``   — share of tokens taken by the most frequent
-      token (boilerplate pages repeat one token heavily);
-    * ``dup_word_frac``   — 1 − distinct/total over tokens.
-
-    Narrow map, exact SQL oracle.
-    """
-    lines = F.split(F.col(text_col), "\n")
+def repetition_cols(text_col: Column) -> list:
+    """Column set behind ``repetition_signals`` (see ``token_count_cols``)."""
+    lines = F.split(text_col, "\n")
     n_lines = F.size(lines)
-    toks = tokens(F.lower(F.col(text_col)))
+    toks = tokens(F.lower(text_col))
     n_tok = F.size(toks)
     # most-frequent-token share via sort + aggregate over run lengths is
     # HOF-heavy; the clean relational form is explode+groupBy, but per-doc
@@ -285,8 +336,7 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         ),
         lambda acc: acc["best"],
     )
-    return df.select(
-        F.col("doc_id"),
+    return [
         F.round(
             F.when(n_lines > 0, 1 - F.size(F.array_distinct(lines)) / n_lines)
             .otherwise(F.lit(0.0)), 6
@@ -298,6 +348,35 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.when(n_tok > 0, 1 - F.size(F.array_distinct(toks)) / n_tok)
             .otherwise(F.lit(0.0)), 6
         ).alias("dup_word_frac"),
+    ]
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals (Gopher-style), all native:
+
+    * ``dup_line_frac``   — 1 − distinct/total over newline-split lines;
+    * ``top_word_frac``   — share of tokens taken by the most frequent
+      token (boilerplate pages repeat one token heavily);
+    * ``dup_word_frac``   — 1 − distinct/total over tokens.
+
+    Narrow map, exact SQL oracle.
+    """
+    return df.select(F.col("doc_id"), *repetition_cols(F.col(text_col)))
+
+
+def doc_signals(df: DataFrame, text_col: str = "text",
+                rep_col: Column = None) -> DataFrame:
+    """Fused per-document signal pass: the three repetition signals plus the
+    zlib compression ratio, all in ONE projection over ONE scan (narrow
+    map; the zlib column is the family's single Arrow-batched UDF —
+    everything else stays in whole-stage codegen). ``rep_col`` optionally
+    points the repetition signals at a different input expression than the
+    compression ratio (the driver query repeats lines deliberately)."""
+    rep_src = rep_col if rep_col is not None else F.col(text_col)
+    return df.select(
+        F.col("doc_id"),
+        *repetition_cols(rep_src),
+        zlib_ratio_col(F.col(text_col)).alias("compression_ratio"),
     )
 
 

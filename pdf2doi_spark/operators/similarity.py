@@ -71,6 +71,66 @@ def cosine_topk(df: DataFrame, query: Sequence[float], k: int = 10,
 
 # ------------------------------------------------------------------ LSH ANN
 
+def embedding_lsh_params(n_vectors: int) -> tuple:
+    """(n_bands, planes_per_band) for signature-bucketed near-dup search,
+    scaled to corpus size — the round-2 review's scale fix: a FIXED 8-plane
+    signature has only 256 buckets, so at 10^12 vectors each bucket holds
+    ~4×10^9 rows and the within-bucket self-join is O(bucket²).
+
+    The signature widens with log2(n) so expected bucket occupancy stays
+    ~2^8 per band regardless of scale (8 planes at ≤2^16 vectors → 32
+    planes / 2^32 buckets at 10^12). Wider signatures split true near-dup
+    pairs more often (each extra plane flips with probability θ/π), so once
+    the signature grows past 8 planes the scheme goes multi-band — 4
+    independent bands, candidate on ANY band match — which restores pair
+    recall to ~1-(1-r)^4 while keeping every per-band bucket small. Audit
+    actual bucket sizes with ``lsh_bucket_profile`` before trusting a
+    parameter choice on a new corpus."""
+    import math
+
+    planes = max(8, math.ceil(math.log2(max(n_vectors, 2))) - 8)
+    bands = 1 if planes <= 8 else 4
+    return bands, planes
+
+
+def banded_lsh_signatures(df: DataFrame, n_bands: int, planes_per_band: int,
+                          dim: int, vec_col: str = "v") -> DataFrame:
+    """(id, v) → (id, v, band_idx, sig): one deterministic hyperplane
+    signature per band (band b uses planes [b·p, (b+1)·p) of the shared
+    plane sequence). The downstream candidate join shuffles on
+    (band_idx, sig) only — never all-pairs."""
+    all_planes = _plane_signs(n_bands * planes_per_band, dim)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            lsh_signature_col(
+                F.col(vec_col),
+                all_planes[b * planes_per_band:(b + 1) * planes_per_band],
+            ).alias("sig"),
+        )
+        for b in range(n_bands)
+    ]
+    return df.select(
+        "*", F.explode(F.array(*band_structs)).alias("_b")
+    ).select(*df.columns, F.col("_b.band_idx").alias("band_idx"),
+             F.col("_b.sig").alias("sig")).drop("_b")
+
+
+def lsh_bucket_profile(df: DataFrame, n_bands: int, planes_per_band: int,
+                       dim: int, vec_col: str = "v") -> DataFrame:
+    """Bucket-size histogram of the signature join key — the audit to run
+    before an embedding near-dup pass (same contract as
+    ``dedup.minhash_bucket_profile``)."""
+    b = banded_lsh_signatures(df, n_bands, planes_per_band, dim, vec_col)
+    return (
+        b.groupBy("band_idx", "sig")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .groupBy("bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .orderBy(F.desc("bucket_size"))
+    )
+
+
 def _plane_signs(n_planes: int, dim: int) -> List[List[int]]:
     """Deterministic ±1 hyperplanes: sign = parity of md5(plane:dim).
     Hash-derived, so every run/executor/engine builds identical planes."""

@@ -639,6 +639,85 @@ def _q_fingerprint():
     return q, sql
 
 
+def _q_quality_suite():
+    """All five scalar quality signals (token counts, lang-ID, quality
+    score, fingerprint, ASCII scrub) fused into ONE projection over ONE
+    scan — the production shape (quality.quality_suite) and the driver-
+    checked one; the per-signal queries stay in the pytest-only registry.
+    The scrub runs over a deliberately non-ASCII-noised variant of
+    ``text`` (as the standalone ascii_scrub query did) so that check stays
+    non-vacuous."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.quality import quality_suite
+
+        noisy = F.concat(
+            F.col("text"), F.lit(" café\tnoise\nrésumé—"),
+            F.col("doc_id").cast("string"),
+        )
+        return quality_suite(_docs(spark, sf_dir), scrub_col=noisy)
+
+    banks = {
+        "en": "['the','a','and','of','to']",
+        "fr": "['le','la','et','les','des']",
+        "es": "['el','los','que','y','las']",
+        "de": "['der','die','das','und','nicht']",
+        "zh": "['的','是','了','在','我']",
+    }
+    ratio_exprs = ",\n                 ".join(
+        f"CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> list_contains({b}, x))) * 1.0 / len(toks) ELSE 0.0 END AS r_{lang}"
+        for lang, b in banks.items()
+    )
+    case_arms = " ".join(
+        f"WHEN r_{lang} >= best AND best > 0.02 THEN '{lang}'" for lang in banks
+    )
+    sql = rf"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 CASE WHEN length(trim(text)) = 0 THEN []
+                      ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks,
+                 length(text) AS n_chars,
+                 length(text) - length(regexp_replace(text, '[\.,;:!\?\)\(]', '', 'g')) AS punct,
+                 length(regexp_replace(trim(text), '\s+', '', 'g')) AS nospace
+          FROM documents
+        ), r AS (
+          SELECT *,
+                 {ratio_exprs}
+          FROM t
+        ), b AS (
+          SELECT *, greatest(r_en, r_fr, r_es, r_de, r_zh) AS best FROM r
+        ), m AS (
+          SELECT *,
+                 CASE WHEN len(toks) > 0 THEN nospace * 1.0 / len(toks) ELSE 0.0 END AS mean_wl,
+                 CASE WHEN n_chars > 0 THEN punct * 1.0 / n_chars ELSE 0.0 END AS pratio
+          FROM b
+        )
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+               len(regexp_extract_all(trim(text), '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
+               CAST(ceil(nospace / 4.0) AS BIGINT) AS n_subword_est,
+               round(r_en, 6) AS en_marker_ratio,
+               round(best, 6) AS best_marker_ratio,
+               CASE {case_arms} ELSE 'other' END AS lang_pred,
+               n_chars AS n_chars_seen,
+               round(mean_wl, 6) AS mean_word_len,
+               round(r_en, 6) AS stopword_ratio,
+               round(pratio, 6) AS punct_ratio,
+               round((CASE WHEN len(toks) >= 10 AND mean_wl >= 2.0 AND mean_wl <= 12.0 THEN 0.5 ELSE 0.0 END)
+                   + (CASE WHEN r_en > 0.01 THEN 0.3 ELSE 0.0 END)
+                   + (CASE WHEN pratio < 0.2 THEN 0.2 ELSE 0.0 END), 2) AS quality_score,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+               substring(
+                 translate(
+                   regexp_replace(text || ' café' || chr(9) || 'noise' || chr(10) || 'résumé—' || CAST(doc_id AS VARCHAR),
+                                  '[^\x00-\x7f]', ' ', 'g'),
+                   chr(10) || chr(13) || chr(9), '   '),
+                 1, 1000) AS scrubbed_text
+        FROM m
+    """
+    return q, sql
+
+
 def _q_winnowing_sketch():
     """Sketch serialized to a '|'-joined string: the driver's canonicalizer
     cannot hash array cells (round-1 ERR), so the query emits the scalar
@@ -780,15 +859,23 @@ def _q_simhash():
 def _q_simhash_near_dups():
     """SimHash near-dup pairs (Hamming ≤ 3) via 16-bit-chunk pigeonhole
     banding — candidates shuffle on the banded key only, never all-pairs.
-    Exact oracle: the SQL rebuilds the bit votes, bands the UBIGINT value,
-    and bit-counts the XOR (dedup.py:240)."""
+    ``max_bucket`` is the round-2-review skew guard (each band has only
+    65,536 possible chunks, so hot chunks are a certainty at crawl scale);
+    the oracle applies the IDENTICAL cap, so the row stays exact whether
+    or not the cap fires at this scale. Exact oracle: the SQL rebuilds the
+    bit votes, bands the UBIGINT value, drops over-cap chunk buckets, and
+    bit-counts the XOR (dedup.py:240)."""
+    MAX_BUCKET = 50
+
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
         from pdf2doi_spark.operators.dedup import simhash_near_duplicates
 
-        return simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=3)
+        return simhash_near_duplicates(
+            _docs(spark, sf_dir), max_hamming=3, max_bucket=MAX_BUCKET
+        )
 
-    sql = r"""
+    sql = rf"""
         WITH toks AS (
           -- empty tokens filtered instead of a trim() gate: DuckDB trim()
           -- strips spaces only, so whitespace-only text would otherwise
@@ -816,12 +903,17 @@ def _q_simhash_near_dups():
           SELECT doc_id, u, b.band_idx,
                  CAST((u >> (16 * b.band_idx)) & 65535 AS INT) AS chunk
           FROM sh, (SELECT unnest(range(0, 4)) AS band_idx) b
+        ), ok AS (
+          SELECT band_idx, chunk FROM bands
+          GROUP BY band_idx, chunk HAVING count(*) <= {MAX_BUCKET}
+        ), fb AS (
+          SELECT b.* FROM bands b JOIN ok USING (band_idx, chunk)
         )
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(bit_count(xor(a.u, b.u)) AS INT) AS hamming
-        FROM bands a
-        JOIN bands b ON a.band_idx = b.band_idx AND a.chunk = b.chunk
-                    AND a.doc_id < b.doc_id
+        FROM fb a
+        JOIN fb b ON a.band_idx = b.band_idx AND a.chunk = b.chunk
+                 AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.u, b.u)) <= 3
         ORDER BY doc_a, doc_b
     """
@@ -935,6 +1027,177 @@ def _q_dedup_survivors():
         UNION ALL
         SELECT doc_id, fp FROM fp WHERE fp IS NULL
         ORDER BY doc_id
+    """
+    return q, sql
+
+
+def _q_exact_dedup():
+    """Groups + survivors of exact dedup in ONE driver row (the standalone
+    exact_dup_groups / dedup_survivors queries stay pytest-pinned): per
+    surviving doc, its fingerprint and the size of the duplicate group it
+    survived (1 for unique / null-text docs — NULL fingerprints never join,
+    by design: NULL text means content-not-materialized, not identical)."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.dedup import (
+            distinct_documents, exact_duplicates,
+        )
+
+        inp = _dup_input(spark, sf_dir)
+        surv = distinct_documents(inp)
+        groups = exact_duplicates(inp).select("fp", "n_docs")
+        return (
+            surv.join(groups, "fp", "left")
+            .select(
+                "doc_id", "fp",
+                F.coalesce("n_docs", F.lit(1)).alias("n_copies"),
+            )
+            .orderBy("doc_id")
+        )
+
+    sql = rf"""
+        WITH inp AS ({_DUP_INPUT_SQL}),
+        fp AS (
+          SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          FROM inp
+        ), surv AS (
+          SELECT min(doc_id) AS doc_id, fp FROM fp
+          WHERE fp IS NOT NULL GROUP BY fp
+          UNION ALL
+          SELECT doc_id, fp FROM fp WHERE fp IS NULL
+        ), grp AS (
+          SELECT fp, count(*) AS n_docs FROM fp
+          WHERE fp IS NOT NULL GROUP BY fp HAVING count(*) > 1
+        )
+        SELECT s.doc_id, s.fp,
+               CAST(coalesce(g.n_docs, 1) AS BIGINT) AS n_copies
+        FROM surv s LEFT JOIN grp g ON s.fp = g.fp
+        ORDER BY s.doc_id
+    """
+    return q, sql
+
+
+def _q_dedup_bucket_profile():
+    """ONE skew-audit row for all three bucketed candidate-join families —
+    MinHash LSH bands, SimHash pigeonhole chunks, and embedding hyperplane
+    signatures: (family, bucket_size, n_buckets). This is what you run at
+    crawl scale BEFORE picking each family's ``max_bucket`` cap (round-2
+    review: SimHash and the embedding signature had no audit)."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.dedup import (
+            minhash_bucket_profile, simhash_bucket_profile,
+        )
+        from pdf2doi_spark.operators.similarity import (
+            embedding_lsh_params, lsh_bucket_profile,
+        )
+
+        _ensure_shipped(spark)
+        mh = minhash_bucket_profile(_dup_input(spark, sf_dir))
+        sh = simhash_bucket_profile(_docs(spark, sf_dir))
+        base = _emb(spark, sf_dir).select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        nb, ppb = embedding_lsh_params(base.count())
+        em = lsh_bucket_profile(base, nb, ppb, 64, "v")
+        out = (
+            mh.select(F.lit("minhash").alias("family"), "bucket_size", "n_buckets")
+            .unionByName(sh.select(F.lit("simhash").alias("family"),
+                                   "bucket_size", "n_buckets"))
+            .unionByName(em.select(F.lit("embedding").alias("family"),
+                                   "bucket_size", "n_buckets"))
+        )
+        return out.orderBy("family", F.desc("bucket_size"))
+
+    emb_params = _emb_oracle_lsh_params()
+    if emb_params is None:
+        return q, None  # testdata absent: rows-only fallback
+    nb, ppb = emb_params
+    sql = rf"""
+        WITH inp AS ({_DUP_INPUT_SQL}),
+        words AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+          FROM inp
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+          FROM words WHERE len(w) >= 3
+        ), sig AS (
+          SELECT doc_id,
+                 [list_aggregate(list_transform(s, x -> md5(CAST(k AS VARCHAR) || ':' || x)), 'min')
+                  for k in range(0, 12)] AS mh
+          FROM sh
+        ), mh_bands AS (
+          SELECT doc_id, b.band_idx,
+                 md5(array_to_string(mh[3*b.band_idx + 1 : 3*b.band_idx + 3], '|')) AS band_hash
+          FROM sig, (SELECT unnest(range(0, 4)) AS band_idx) b
+        ), mh_sizes AS (
+          SELECT band_idx, band_hash, count(*) AS bucket_size
+          FROM mh_bands GROUP BY band_idx, band_hash
+        ),
+        toks AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(
+                   regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+                   x -> x <> '')) AS tk
+          FROM documents
+        ), th AS (
+          SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h, len(tk) AS n
+          FROM toks, unnest(tk) AS u(tok)
+        ), bits AS (
+          SELECT doc_id, j, sum(CAST((h >> j) & 1 AS INT)) AS ones, any_value(n) AS n
+          FROM th, (SELECT unnest(range(0, 64)) AS j)
+          GROUP BY doc_id, j
+        ), v AS (
+          SELECT doc_id,
+                 sum(CASE WHEN 2 * ones > n THEN CAST(1::UBIGINT << j AS HUGEINT) ELSE 0 END) AS val
+          FROM bits GROUP BY doc_id
+        ), sh_vals AS (
+          SELECT d.doc_id, CAST(coalesce(v.val, 0) AS UBIGINT) AS u
+          FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
+        ), sh_bands AS (
+          SELECT doc_id, b.band_idx,
+                 CAST((u >> (16 * b.band_idx)) & 65535 AS INT) AS chunk
+          FROM sh_vals, (SELECT unnest(range(0, 4)) AS band_idx) b
+        ), sh_sizes AS (
+          SELECT band_idx, chunk, count(*) AS bucket_size
+          FROM sh_bands GROUP BY band_idx, chunk
+        ),
+        ebase AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), planes AS (
+          SELECT p, d,
+                 CASE WHEN ('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 2))::INT & 1 = 1
+                      THEN 1.0 ELSE -1.0 END AS s
+          FROM (SELECT unnest(range(0, {nb * ppb})) AS p), (SELECT unnest(range(0, 64)) AS d)
+        ), pl AS (
+          SELECT p, list(s ORDER BY d) AS sv FROM planes GROUP BY p
+        ), esig AS (
+          SELECT a.vec_id, CAST(pl.p // {ppb} AS INT) AS band_idx,
+                 string_agg(CASE WHEN list_dot_product(a.v, pl.sv) >= 0
+                                 THEN '1' ELSE '0' END, '' ORDER BY pl.p) AS sig
+          FROM ebase a, pl
+          GROUP BY a.vec_id, pl.p // {ppb}
+        ), e_sizes AS (
+          SELECT band_idx, sig, count(*) AS bucket_size
+          FROM esig GROUP BY band_idx, sig
+        ),
+        unioned AS (
+          SELECT 'minhash' AS family, bucket_size, count(*) AS n_buckets
+          FROM mh_sizes GROUP BY bucket_size
+          UNION ALL
+          SELECT 'simhash' AS family, bucket_size, count(*) AS n_buckets
+          FROM sh_sizes GROUP BY bucket_size
+          UNION ALL
+          SELECT 'embedding' AS family, bucket_size, count(*) AS n_buckets
+          FROM e_sizes GROUP BY bucket_size
+        )
+        SELECT family, CAST(bucket_size AS BIGINT) AS bucket_size,
+               CAST(n_buckets AS BIGINT) AS n_buckets
+        FROM unioned
+        ORDER BY family, bucket_size DESC
     """
     return q, sql
 
@@ -1108,28 +1371,43 @@ _ORACLE_SF_DIR = _os.environ.get(
     "SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01"
 )
 _COMPRESSION_ORACLE_CACHE: dict = {}
+_EMB_LSH_CACHE: dict = {}
 
 
-def _q_compression_ratio():
-    """zlib compression ratio. DuckDB has no zlib, but the expected ratios
-    are a pure function of the deterministic synthetic docs — so the oracle
-    is built by running the SAME ``zlib_ratio`` function over the sf0.01
-    documents OUTSIDE Spark (plain duckdb read + python map) and inlining
-    the expected values; the join against the live ``documents`` view keeps
-    the check honest (wrong scale → row-count red, never a false pass).
-    This pins the distributed plumbing (UDF batching, row alignment) with
-    exact values instead of round 1's rows-only check."""
-    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from pdf2doi_spark.operators.quality import compression_ratio
+def _emb_oracle_lsh_params():
+    """(n_bands, planes_per_band) for the embedding-LSH oracles, derived
+    from the oracle-scale embeddings row count via the same
+    ``similarity.embedding_lsh_params`` formula the Spark queries apply to
+    the live table — identical whenever the check runs at the oracle scale
+    (which the driver pins). None when the testdata is absent. Memoized:
+    build_queries()/build_oracles() each invoke every builder."""
+    if _ORACLE_SF_DIR not in _EMB_LSH_CACHE:
+        params = None
+        try:
+            import duckdb
 
-        return compression_ratio(_docs(spark, sf_dir))
+            from pdf2doi_spark.operators.similarity import embedding_lsh_params
 
-    # memoized per process: the precompute reads the oracle-scale parquet
-    # and zlib-compresses every document — build_queries()/build_oracles()
-    # each invoke every builder, and this work must not run twice (nor at
-    # all twice for registry construction)
+            n = duckdb.connect().execute(
+                f"SELECT count(*) FROM read_parquet("
+                f"'{_ORACLE_SF_DIR}/embeddings.parquet')"
+            ).fetchone()[0]
+            params = embedding_lsh_params(int(n))
+        except Exception:
+            params = None
+        _EMB_LSH_CACHE[_ORACLE_SF_DIR] = params
+    return _EMB_LSH_CACHE[_ORACLE_SF_DIR]
+
+
+def _compression_oracle_values() -> str | None:
+    """``(VALUES ...) v(doc_id, compression_ratio)`` fragment holding the
+    expected zlib ratios for the oracle-scale documents, precomputed by the
+    SAME ``zlib_ratio`` function OUTSIDE Spark (plain duckdb read + python
+    map). Memoized per process: the precompute zlib-compresses every
+    document, and build_queries()/build_oracles() each invoke every
+    builder. None when the testdata is absent (rows-only fallback)."""
     if _ORACLE_SF_DIR not in _COMPRESSION_ORACLE_CACHE:
-        sql = None
+        frag = None
         try:
             import duckdb
 
@@ -1142,16 +1420,97 @@ def _q_compression_ratio():
             vals = ",".join(
                 f"({d},CAST({zlib_ratio(t)!r} AS DOUBLE))" for d, t in rows
             )
-            sql = (
-                "SELECT d.doc_id, v.compression_ratio "
-                f"FROM documents d JOIN (VALUES {vals}) "
-                "v(doc_id, compression_ratio) ON v.doc_id = d.doc_id"
-            )
+            frag = f"(VALUES {vals}) v(doc_id, compression_ratio)"
         except Exception:
-            sql = None  # testdata absent: fall back to the rows-only check
-        _COMPRESSION_ORACLE_CACHE[_ORACLE_SF_DIR] = sql
+            frag = None
+        _COMPRESSION_ORACLE_CACHE[_ORACLE_SF_DIR] = frag
+    return _COMPRESSION_ORACLE_CACHE[_ORACLE_SF_DIR]
 
-    return q, _COMPRESSION_ORACLE_CACHE[_ORACLE_SF_DIR]
+
+def _q_compression_ratio():
+    """zlib compression ratio. DuckDB has no zlib, but the expected ratios
+    are a pure function of the deterministic synthetic docs — so the oracle
+    inlines values precomputed by the SAME ``zlib_ratio`` function (see
+    ``_compression_oracle_values``); the join against the live
+    ``documents`` view keeps the check honest (wrong scale → row-count
+    red, never a false pass). This pins the distributed plumbing (UDF
+    batching, row alignment) with exact values instead of round 1's
+    rows-only check."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.quality import compression_ratio
+
+        return compression_ratio(_docs(spark, sf_dir))
+
+    vals = _compression_oracle_values()
+    sql = None
+    if vals is not None:
+        sql = (
+            "SELECT d.doc_id, v.compression_ratio "
+            f"FROM documents d JOIN {vals} ON v.doc_id = d.doc_id"
+        )
+    return q, sql
+
+
+def _q_doc_signals():
+    """Repetition signals + compression ratio fused into one projection
+    (quality.doc_signals) — repetition over the synthesized multi-line
+    variant (known duplicate-line fraction, as the standalone query had),
+    compression over the plain text (so the precomputed zlib oracle values
+    still apply)."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.quality import doc_signals
+
+        seg = F.substring(F.col("text"), 1, 60)
+        rep_inp = F.concat(
+            F.col("text"), F.lit("\n"),
+            F.when(F.col("doc_id") % 3 == 0, seg).otherwise(
+                F.concat(F.lit("tail "), F.col("doc_id").cast("string"))
+            ),
+            F.lit("\n"), seg,
+        )
+        return doc_signals(_docs(spark, sf_dir), rep_col=rep_inp)
+
+    vals = _compression_oracle_values()
+    if vals is None:
+        return q, None  # testdata absent: rows-only fallback
+    sql = rf"""
+        WITH inp AS (
+          SELECT doc_id,
+                 text || chr(10) ||
+                 CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 60)
+                      ELSE 'tail ' || CAST(doc_id AS VARCHAR) END ||
+                 chr(10) || substr(text, 1, 60) AS t
+          FROM documents
+        ), feats AS (
+          SELECT doc_id, t,
+                 string_split(t, chr(10)) AS lines,
+                 CASE WHEN length(trim(t)) = 0 THEN []
+                      ELSE regexp_split_to_array(lower(trim(t)), '\s+') END AS toks
+          FROM inp
+        ), w AS (
+          SELECT doc_id, unnest(toks) AS tok FROM feats
+        ), topw AS (
+          SELECT doc_id, max(cnt) AS top FROM (
+            SELECT doc_id, tok, count(*) AS cnt FROM w GROUP BY 1, 2
+          ) GROUP BY 1
+        )
+        SELECT f.doc_id,
+               round(CASE WHEN len(lines) > 0
+                          THEN 1 - len(list_distinct(lines)) * 1.0 / len(lines)
+                          ELSE 0.0 END, 6) AS dup_line_frac,
+               round(CASE WHEN len(toks) > 0
+                          THEN coalesce(topw.top, 0) * 1.0 / len(toks)
+                          ELSE 0.0 END, 6) AS top_word_frac,
+               round(CASE WHEN len(toks) > 0
+                          THEN 1 - len(list_distinct(toks)) * 1.0 / len(toks)
+                          ELSE 0.0 END, 6) AS dup_word_frac,
+               v.compression_ratio
+        FROM feats f
+        LEFT JOIN topw ON f.doc_id = topw.doc_id
+        JOIN {vals} ON v.doc_id = f.doc_id
+        ORDER BY f.doc_id
+    """
+    return q, sql
 
 
 def _q_corpus_pipeline():
@@ -1800,13 +2159,61 @@ def _q_length_percentiles():
 
 
 def _q_approx_stats():
-    """Sketch-based per-source profile: HyperLogLog distinct counts +
-    t-digest-style quantiles (``approx_count_distinct`` /
-    ``approx_percentile``). These are THE 100 TB statistics operators —
-    fixed-size sketch state, map-side mergeable, no exact shuffle of raw
-    values. Sketch internals differ across engines, so no value oracle;
-    tests pin each estimate within tolerance of the exact answer
-    (tests/test_operators.py::test_approx_stats_tolerance)."""
+    """Sketch operators under an EXACT driver oracle (round-2 directive —
+    this row was the gate's one ``no_oracle``): the query computes BOTH the
+    exact per-source statistics (countDistinct, interpolated median) and
+    the sketch estimates (``approx_count_distinct`` HLL,
+    ``percentile_approx`` t-digest-style) in one aggregation pass, then
+    emits the exact values plus boolean within-tolerance verdicts for the
+    sketches (HLL within 15%+1 of exact; approx median inside the exact
+    p25-p75 band). A healthy sketch makes every verdict TRUE — which is
+    what the oracle pins — so the driver hash now checks the exact stats
+    AND that the sketches work; the raw estimates stay tolerance-pinned by
+    pytest via ``approx_stats_sketch``."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = _docs(spark, sf_dir)
+        agg = d.groupBy("source").agg(
+            F.count_distinct("text").alias("n_distinct_texts"),
+            F.count_distinct("doc_id").alias("n_distinct_ids"),
+            F.round(F.expr("percentile(length(text), 0.5)"), 5).alias("median_len"),
+            F.approx_count_distinct("text").alias("_hll_t"),
+            F.approx_count_distinct("doc_id").alias("_hll_i"),
+            F.percentile_approx(
+                F.length("text"), F.lit(0.5), F.lit(1000)
+            ).cast("double").alias("_ap_med"),
+            F.expr("percentile(length(text), 0.25)").alias("_p25"),
+            F.expr("percentile(length(text), 0.75)").alias("_p75"),
+        )
+        return agg.select(
+            "source", "n_distinct_texts", "n_distinct_ids", "median_len",
+            (F.abs(F.col("_hll_t") - F.col("n_distinct_texts"))
+             <= 0.15 * F.col("n_distinct_texts") + 1).alias("hll_texts_ok"),
+            (F.abs(F.col("_hll_i") - F.col("n_distinct_ids"))
+             <= 0.15 * F.col("n_distinct_ids") + 1).alias("hll_ids_ok"),
+            ((F.col("_ap_med") >= F.col("_p25"))
+             & (F.col("_ap_med") <= F.col("_p75"))).alias("approx_median_ok"),
+        ).orderBy("source")
+
+    sql = """
+        SELECT source,
+               count(DISTINCT text) AS n_distinct_texts,
+               count(DISTINCT doc_id) AS n_distinct_ids,
+               round(quantile_cont(length(text), 0.5), 5) AS median_len,
+               TRUE AS hll_texts_ok,
+               TRUE AS hll_ids_ok,
+               TRUE AS approx_median_ok
+        FROM documents GROUP BY source ORDER BY source
+    """
+    return q, sql
+
+
+def _q_approx_stats_sketch():
+    """The raw sketch estimates (HLL distinct counts, approx percentile) —
+    engine-specific values, so no SQL oracle; pinned within tolerance of
+    exact by tests/test_operators.py::test_approx_stats_tolerance and
+    value-checked indirectly through ``approx_stats``'s verdict booleans.
+    Fixed-size sketch state, map-side mergeable — THE 100 TB statistics
+    shape."""
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = _docs(spark, sf_dir)
         return (
@@ -1883,25 +2290,36 @@ def _q_ngram_jaccard():
 
 def _q_embedding_near_dups():
     """Embedding-cosine near-duplicate pairs, MinHash-shaped at scale:
-    LSH-signature buckets generate candidates (equi-join on the 8-bit
-    hyperplane signature — never an all-pairs or per-label quadratic join),
+    hyperplane-signature buckets generate candidates (equi-join on
+    (band_idx, sig) — never an all-pairs or per-label quadratic join),
     exact cosine verifies, threshold filters.
+
+    Round-2 review fix: the signature WIDTH now scales with corpus size
+    via ``similarity.embedding_lsh_params`` — log2(n)-scaled planes keep
+    expected bucket occupancy ~2^8 per band at any scale (the fixed
+    8-plane/256-bucket signature went O(bucket²) at 10^12 vectors), and
+    past 8 planes the scheme goes 4-band (candidate on ANY band match) to
+    restore pair recall. At the driver scale the formula yields the same
+    (1 band, 8 planes) signature round 2 ran; the oracle derives the SAME
+    params from the oracle-dir row count. Bucket sizes are audited by
+    ``dedup_bucket_profile``.
 
     Near-dups are PLANTED deterministically so the check is non-vacuous
     (round 1 compared 0 rows to 0 rows): every 10th vector gets a twin
     scaled ±2% on alternating dims — cosine ≥ 0.999 by construction, and
     both engines build the twin with identical double arithmetic."""
-    N_PLANES, TWIN_OFF = 8, 10_000_000
+    TWIN_OFF = 10_000_000
 
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pdf2doi_spark.operators.similarity import (
-            _dot, _norm, _plane_signs, lsh_signature_col,
+            _dot, _norm, banded_lsh_signatures, embedding_lsh_params,
         )
 
         base = _emb(spark, sf_dir).select(
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         )
+        n_bands, ppb = embedding_lsh_params(base.count())
         twins = base.filter(F.col("vec_id") % 10 == 0).select(
             (F.col("vec_id") + TWIN_OFF).alias("vec_id"),
             F.transform(
@@ -1909,27 +2327,34 @@ def _q_embedding_near_dups():
                 lambda x, i: x * F.when(i % 2 == 0, F.lit(1.02)).otherwise(F.lit(0.98)),
             ).alias("v"),
         )
-        planes = _plane_signs(N_PLANES, 64)
-        aug = base.unionByName(twins).withColumn(
-            "lsh_sig", lsh_signature_col(F.col("v"), planes)
+        aug = base.unionByName(twins)
+        bands = banded_lsh_signatures(aug, n_bands, ppb, 64, "v")
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.sig") == F.col("b.sig"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"))
+            .distinct()
         )
-        a, b = aug.alias("a"), aug.alias("b")
+        va = aug.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+        vb = aug.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
         cos = F.round(
-            _dot(F.col("a.v"), F.col("b.v"))
-            / (_norm(F.col("a.v")) * _norm(F.col("b.v"))), 6
+            _dot(F.col("va"), F.col("vb"))
+            / (_norm(F.col("va")) * _norm(F.col("vb"))), 6
         )
         return (
-            a.join(b, (F.col("a.lsh_sig") == F.col("b.lsh_sig"))
-                   & (F.col("a.vec_id") < F.col("b.vec_id")))
-            .select(
-                F.col("a.vec_id").alias("vec_a"),
-                F.col("b.vec_id").alias("vec_b"),
-                cos.alias("cosine"),
-            )
+            cand.join(va, "vec_a").join(vb, "vec_b")
+            .select("vec_a", "vec_b", cos.alias("cosine"))
             .filter(F.col("cosine") >= 0.95)
             .orderBy("vec_a", "vec_b")
         )
 
+    emb_params = _emb_oracle_lsh_params()
+    if emb_params is None:
+        return q, None  # testdata absent: rows-only fallback
+    nb, ppb = emb_params
     sql = f"""
         WITH base AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1945,7 +2370,7 @@ def _q_embedding_near_dups():
           SELECT p, d,
                  CASE WHEN ('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 2))::INT & 1 = 1
                       THEN 1.0 ELSE -1.0 END AS s
-          FROM (SELECT unnest(range(0, {N_PLANES})) AS p), (SELECT unnest(range(0, 64)) AS d)
+          FROM (SELECT unnest(range(0, {nb * ppb})) AS p), (SELECT unnest(range(0, 64)) AS d)
         ), pl AS (
           -- ordered plane vectors: the projection below is an ORDERED
           -- list_dot_product, matching Spark's left-to-right fold exactly
@@ -1953,20 +2378,24 @@ def _q_embedding_near_dups():
           -- the other side of >= 0 and flip a signature bit)
           SELECT p, list(s ORDER BY d) AS sv FROM planes GROUP BY p
         ), sig AS (
-          SELECT a.vec_id,
+          SELECT a.vec_id, CAST(pl.p // {ppb} AS INT) AS band_idx,
                  string_agg(CASE WHEN list_dot_product(a.v, pl.sv) >= 0
-                                 THEN '1' ELSE '0' END, '' ORDER BY pl.p) AS lsh_sig
+                                 THEN '1' ELSE '0' END, '' ORDER BY pl.p) AS sig
           FROM aug a, pl
-          GROUP BY a.vec_id
+          GROUP BY a.vec_id, pl.p // {ppb}
+        ), cand AS (
+          SELECT DISTINCT sa.vec_id AS vec_a, sb.vec_id AS vec_b
+          FROM sig sa
+          JOIN sig sb ON sb.band_idx = sa.band_idx AND sb.sig = sa.sig
+                     AND sb.vec_id > sa.vec_id
         ), scored AS (
-          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          SELECT c.vec_a, c.vec_b,
                  round(list_dot_product(a.v, b.v)
                        / (sqrt(list_dot_product(a.v, a.v))
                           * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-          FROM aug a
-          JOIN sig sa ON sa.vec_id = a.vec_id
-          JOIN sig sb ON sb.lsh_sig = sa.lsh_sig AND sb.vec_id > sa.vec_id
-          JOIN aug b ON b.vec_id = sb.vec_id
+          FROM cand c
+          JOIN aug a ON a.vec_id = c.vec_a
+          JOIN aug b ON b.vec_id = c.vec_b
         )
         SELECT vec_a, vec_b, cosine FROM scored
         WHERE cosine >= 0.95
@@ -2059,8 +2488,10 @@ def _q_distinct_counts():
     """Distinct aggregation: per-source distinct fingerprints + doc counts
     (two-pass distinct agg, map-side partial)."""
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.quality import norm_text
+
         d = _docs(spark, sf_dir)
-        fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+        fp = F.md5(norm_text(F.col("text")))  # THE shared fingerprint contract
         return (
             d.select("source", fp.alias("fp"))
             .groupBy("source")
@@ -2469,6 +2900,8 @@ def _q_mixture_sample():
 # Registry.
 # --------------------------------------------------------------------------
 
+# Every builder, including the pytest-only ones. A builder returns
+# (query_fn, oracle_sql_or_None).
 _BUILDERS = {
     "extract_cascade": _q_extract_cascade,
     "extract_cascade_noarxiv": _q_extract_cascade_noarxiv,
@@ -2489,11 +2922,14 @@ _BUILDERS = {
     "lang_id": _q_lang_id,
     "quality_score": _q_quality_score,
     "doc_fingerprint": _q_fingerprint,
+    "quality_suite": _q_quality_suite,
     "winnowing_sketch": _q_winnowing_sketch,
     "exact_dup_groups": _q_exact_dup_groups,
+    "exact_dedup": _q_exact_dedup,
     "minhash_bands": _q_minhash_bands,
     "minhash_near_dups": _q_minhash_near_dups,
     "minhash_bucket_profile": _q_minhash_bucket_profile,
+    "dedup_bucket_profile": _q_dedup_bucket_profile,
     "dedup_survivors": _q_dedup_survivors,
     "dup_components": _q_dup_components,
     "dup_components_star": _q_dup_components_star,
@@ -2509,6 +2945,7 @@ _BUILDERS = {
     "canonical_urls": _q_canonical_urls,
     "repetition_signals": _q_repetition_signals,
     "compression_ratio": _q_compression_ratio,
+    "doc_signals": _q_doc_signals,
     "redact_pii": _q_redact_pii,
     "simhash": _q_simhash,
     "simhash_near_dups": _q_simhash_near_dups,
@@ -2518,6 +2955,7 @@ _BUILDERS = {
     "label_centroids": _q_label_centroids,
     "length_percentiles": _q_length_percentiles,
     "approx_stats": _q_approx_stats,
+    "approx_stats_sketch": _q_approx_stats_sketch,
     "title_select": _q_title_select,
     "domain_counts_salted": _q_domain_counts,
     "events_windowed": _q_events_windowed,
@@ -2534,12 +2972,110 @@ _BUILDERS = {
     "mixture_sample": _q_mixture_sample,
 }
 
+# The driver-facing registry: EXACTLY the queries the driver's correctness
+# gate records, consolidated to fit its 50-row cap so every entry gets a
+# CORRECTNESS row (round-2 verdict: 62 registered queries left 12 with no
+# driver row at all). The names NOT in this list remain in _BUILDERS and
+# keep their full DuckDB-oracle comparison in pytest
+# (tests/test_driver_contract.py runs build_all_queries); each is subsumed
+# by a driver-checked superset:
+#   doi_tier1..4            -> tier_rank extracts with all 5 tier patterns
+#                              (hash-exact per tier); doi_tier0 stays as
+#                              the representative single-tier query
+#   ascii_scrub, token_count, lang_id, quality_score, doc_fingerprint
+#                           -> quality_suite (same column expressions,
+#                              fused into one projection)
+#   exact_dup_groups, dedup_survivors -> exact_dedup (both operators in
+#                              one row: survivors + group sizes)
+#   minhash_bands           -> minhash_near_dups replays the whole
+#                              signature->band->verify pipeline in its
+#                              oracle
+#   minhash_bucket_profile  -> dedup_bucket_profile (minhash + simhash +
+#                              embedding families)
+#   dup_components          -> dup_components_star (equivalence pinned by
+#                              tests/test_operators.py)
+#   repetition_signals, compression_ratio -> doc_signals (fused)
+#   approx_stats_sketch     -> approx_stats emits within-tolerance
+#                              verdicts for the same sketches
+_DRIVER_QUERIES = (
+    "extract_cascade",
+    "extract_cascade_noarxiv",
+    "method_metrics",
+    "main_content",
+    "report_format",
+    "doi_tier0",
+    "arxiv_tier0",
+    "tier_rank",
+    "standardise_doi",
+    "filename_extract",
+    "quality_suite",
+    "winnowing_sketch",
+    "exact_dedup",
+    "minhash_near_dups",
+    "dedup_bucket_profile",
+    "dup_components_star",
+    "media_features",
+    "frame_samples",
+    "sketch_overlap",
+    "near_dup_clusters",
+    "line_dedup",
+    "decontaminate",
+    "grouped_profile",
+    "corpus_pipeline",
+    "hash_sample",
+    "canonical_urls",
+    "doc_signals",
+    "redact_pii",
+    "simhash",
+    "simhash_near_dups",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "label_centroids",
+    "length_percentiles",
+    "approx_stats",
+    "title_select",
+    "domain_counts_salted",
+    "events_windowed",
+    "ngram_jaccard",
+    "embedding_near_dups",
+    "sessionize",
+    "topk_per_group",
+    "funnel",
+    "tpch_q1",
+    "tpch_q3",
+    "metrics_cube",
+    "distinct_counts",
+    "pack_sequences",
+    "mixture_sample",
+)
+assert len(_DRIVER_QUERIES) <= 50, (
+    "driver registry exceeds the correctness gate's 50-row cap: "
+    f"{len(_DRIVER_QUERIES)} entries"
+)
+
 
 def build_queries() -> Dict[str, QueryFn]:
-    return {name: builder()[0] for name, builder in _BUILDERS.items()}
+    """The driver-facing registry (<=50 entries; see _DRIVER_QUERIES)."""
+    return {name: _BUILDERS[name]()[0] for name in _DRIVER_QUERIES}
 
 
 def build_oracles() -> Dict[str, str]:
+    out = {}
+    for name in _DRIVER_QUERIES:
+        sql = _BUILDERS[name]()[1]
+        if sql is not None:
+            out[name] = sql
+    return out
+
+
+def build_all_queries() -> Dict[str, QueryFn]:
+    """EVERY builder, including the pytest-only consolidated-away queries —
+    the set tests/test_driver_contract.py and bench.py draw from."""
+    return {name: builder()[0] for name, builder in _BUILDERS.items()}
+
+
+def build_all_oracles() -> Dict[str, str]:
     out = {}
     for name, builder in _BUILDERS.items():
         sql = builder()[1]

@@ -63,7 +63,23 @@ def ship_package(spark: SparkSession) -> None:
                 )
                 zf.write(full, rel)
     spark.sparkContext.addPyFile(zip_path)
+    # Executors (re-)fetch and content-check the zip from this local path
+    # lazily at task-dependency update, so it must outlive the session —
+    # an eager unlink here makes the very first task fail (and a recycled
+    # tempfile name then poisons later sessions with a content mismatch).
+    # atexit cleanup keeps long-lived hosts from accumulating one orphan
+    # zip per session in /tmp without racing the executors.
+    import atexit
+
+    atexit.register(_unlink_quiet, zip_path)
     _SHIPPED_APPS.add(app_id)
+
+
+def _unlink_quiet(path: str) -> None:
+    try:
+        os.unlink(path)
+    except OSError:
+        pass
 
 
 def build_session(master: str | None = None, app_name: str = "pdf2doi_spark",

@@ -253,12 +253,18 @@ def merge_cache(spark: SparkSession, cache_path: str, results: DataFrame,
             .partitionBy("shard")
             .parquet(cache_path)
         )
-        result = spark.read.parquet(cache_path)
-        result.count()  # force before dropping the tmp source
+        # The dynamic-overwrite write above already materialized every
+        # merged row into cache_path; the returned frame is a FRESH scan of
+        # cache_path with no lineage through the tmp dir, so the tmp source
+        # can be dropped immediately. (Round-2 review: the full-cache
+        # ``result.count()`` that used to sit here was a pointless O(cache)
+        # scan per merge at a billions-row cache —
+        # tests/test_cache.py::test_merge_cache_never_counts pins its
+        # absence.)
         _rmtree(cache_path + ".tmp", spark)
         # pin the modulus for every later merge
         _fs_write_small(spark, marker, str(n_shards))
-        return result
+        return spark.read.parquet(cache_path)
     finally:
         for df in pinned:
             df.unpersist()
@@ -292,8 +298,16 @@ def run_resumable(
     different modulus would skip-filter a DIFFERENT row set than the one
     the manifest recorded as done (silent loss) while leaving the old
     shard partitions alive next to recomputed ones (duplicates).
+
+    **Write-once contract**: ``out_dir`` belongs to ONE logical input. Once
+    every shard is marked done the directory is sealed — a later call
+    returns the stored results AS OF the run that sealed it and never
+    re-examines the input (checking would cost the full input scan the
+    O(1) restart exists to avoid). Point a grown/changed input at a fresh
+    ``out_dir``; the sealed short-circuit logs a warning to make a stale
+    reuse visible.
     """
-    from pdf2doi_spark.operators.extract import extract_identifiers
+    from pdf2doi_spark.operators.extract import RESULT_SCHEMA, extract_identifiers
 
     results_path = os.path.join(out_dir, "results")
     manifest_path = os.path.join(out_dir, "manifest")
@@ -303,11 +317,33 @@ def run_resumable(
     else:
         _fs_write_small(spark, marker, str(n_shards))
 
+    def _read_results() -> DataFrame:
+        # an all-empty input writes no parquet part files, so a plain
+        # read-back would die on schema inference — return a typed empty
+        # frame instead (same columns a non-empty run produces)
+        fs, hp = _fs(spark, results_path)
+        has_data = fs.exists(hp) and any(
+            s.getPath().getName().startswith("shard=")
+            for s in fs.listStatus(hp)
+        )
+        if not has_data:
+            return spark.createDataFrame([], RESULT_SCHEMA + ", shard bigint")
+        return spark.read.parquet(results_path)
+
     done = completed_shards(spark, manifest_path)
     if len(done) >= n_shards:
         # every shard already recorded done: a restart must cost O(1), not
-        # a full input re-scan for an empty extraction pass
-        return spark.read.parquet(results_path)
+        # a full input re-scan for an empty extraction pass. See the
+        # write-once contract above — this returns the SEALED results.
+        import warnings
+
+        warnings.warn(
+            f"run_resumable: {out_dir} is sealed (all {n_shards} shards "
+            "done); returning stored results without consulting the input. "
+            "Use a fresh out_dir if the input has changed.",
+            stacklevel=2,
+        )
+        return _read_results()
     sharded = pages.withColumn("shard", shard_column(n_shards))
     if done:
         sharded = sharded.filter(~F.col("shard").isin(*sorted(done)))
@@ -333,7 +369,7 @@ def run_resumable(
     # their partition directories, so a restart never re-scans the results
     # of shards whose manifest rows already exist (at 100 TB that re-scan
     # would dominate every incremental run).
-    written = spark.read.parquet(results_path).withColumn(
+    written = _read_results().withColumn(
         "status", F.lit("done")
     )
     fresh = written.filter(~F.col("shard").isin(*sorted(done))) if done else written
@@ -369,7 +405,7 @@ def run_resumable(
     manifest.write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp).write.mode("overwrite").parquet(manifest_path)
     _rmtree(tmp, spark)
-    return spark.read.parquet(results_path)
+    return _read_results()
 
 
 def write_bucketed(df: DataFrame, table: str, n_buckets: int = 256,

@@ -40,6 +40,10 @@ CHECKED = [
     "minhash_bands", "minhash_near_dups", "repetition_signals",
     "corpus_pipeline", "doi_tier0", "ascii_scrub", "hash_sample",
     "metrics_cube", "distinct_counts", "pack_sequences", "mixture_sample",
+    # round-3 consolidated driver queries (documents-table only — the
+    # fixture has no embeddings/events views, and doc_signals' compression
+    # oracle inlines sf0.01 values that don't apply to these rows)
+    "quality_suite", "exact_dedup", "approx_stats",
 ]
 
 

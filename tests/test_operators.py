@@ -352,10 +352,10 @@ def test_ann_ivf_full_probe_equals_exact(spark, sf_dir):
 def test_approx_stats_tolerance(spark, sf_dir):
     """HLL distinct counts within 10% of exact; approx median within the
     exact p25-p75 band (both per source)."""
-    from pdf2doi_spark.queries import build_queries
+    from pdf2doi_spark.queries import build_all_queries
 
     approx = (
-        build_queries()["approx_stats"](spark, sf_dir)
+        build_all_queries()["approx_stats_sketch"](spark, sf_dir)
         .toPandas().set_index("source")
     )
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1194,3 +1194,117 @@ def test_run_resumable_short_circuits_with_empty_shards(spark, tmp_path):
     # restart: all-done short-circuit (no extraction pass) returns results
     res = run_resumable(spark, pages, out, n_shards=64)
     assert res.count() == 5
+
+
+def test_merge_cache_never_counts(spark, tmp_path, monkeypatch):
+    """Round-2 review: merge_cache used to end with a full-cache
+    ``result.count()`` — a pointless O(cache) scan per merge at a
+    billions-row cache (the dynamic-overwrite write is itself the
+    materializing action). Pin its absence: no DataFrame.count() may run
+    anywhere inside a merge."""
+    from pyspark.sql import DataFrame
+
+    from pdf2doi_spark.sources.io import merge_cache
+
+    cache_path = str(tmp_path / "cache.parquet")
+    ddl = ("url string, identifier string, identifier_type string, "
+           "method string, tier int")
+    r1 = spark.createDataFrame([("u1", "10.1/a", "DOI", "document_text", 1)], ddl)
+    merge_cache(spark, cache_path, r1)  # create (merge path exercised below)
+
+    calls = []
+    orig_count = DataFrame.count
+
+    def counting(self):
+        calls.append(1)
+        return orig_count(self)
+
+    monkeypatch.setattr(DataFrame, "count", counting)
+    r2 = spark.createDataFrame([("u2", "10.2/b", "DOI", "filename", 0)], ddl)
+    merged = merge_cache(spark, cache_path, r2)
+    assert calls == [], f"merge_cache ran {len(calls)} DataFrame.count() calls"
+    monkeypatch.undo()
+    assert merged.count() == 2
+
+
+def test_run_resumable_empty_input_and_sealed_warning(spark, tmp_path):
+    """ADVICE round-2: a first run over an EMPTY input used to write no
+    parquet part files and die on schema inference at read-back; and a
+    sealed out_dir silently returned stale results. Empty input now yields
+    a typed empty frame, and the sealed short-circuit warns."""
+    import warnings
+
+    from pdf2doi_spark.sources.io import run_resumable
+
+    out = str(tmp_path / "resumable_empty")
+    pages = spark.createDataFrame(
+        [], "url string, html binary, text string"
+    )
+    res = run_resumable(spark, pages, out, n_shards=4)
+    assert res.count() == 0
+    assert "identifier" in res.columns and "shard" in res.columns
+    # second call: all 4 shards are recorded done -> sealed warning fires
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res2 = run_resumable(spark, pages, out, n_shards=4)
+        assert res2.count() == 0
+    assert any("sealed" in str(x.message) for x in w)
+
+
+def test_pack_sequences_null_inputs_fail_fast(spark):
+    """NULL order keys / token counts must raise the documented error, not
+    a bare int(nan) ValueError mid-executor."""
+    import pytest as _pytest
+
+    from pdf2doi_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "en", 10), (2, "en", None), (3, "en", 5)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    with _pytest.raises(Exception, match="non-null"):
+        pack_sequences(df, budget=16).collect()
+
+
+def test_extract_passthrough_rejects_reserved_names(spark):
+    import pytest as _pytest
+
+    from pdf2doi_spark.operators.extract import extract_identifiers
+
+    pages = spark.createDataFrame(
+        [("http://x/a.html", bytearray(b"<html></html>"), "t", "dup")],
+        "url string, html binary, text string, identifier string",
+    )
+    with _pytest.raises(ValueError, match="collide"):
+        extract_identifiers(pages, passthrough=["identifier"])
+    with _pytest.raises(ValueError, match="collide"):
+        extract_identifiers(pages, passthrough=["html"])
+
+
+def test_simhash_max_bucket_guard_drops_hot_chunk(spark):
+    """A planted hot chunk (many docs sharing one 16-bit band value —
+    identical docs share ALL four) must be excluded by max_bucket, while
+    pairs under the cap survive. Mirrors minhash_candidate_pairs'
+    guard; exercised here because boilerplate-heavy corpora concentrate
+    fingerprints into the 65,536 available chunks per band."""
+    from pdf2doi_spark.operators.dedup import (
+        simhash_bucket_profile, simhash_near_duplicates,
+    )
+
+    # 30 identical docs (one hot fingerprint => 4 hot chunks of size 30)
+    # + 2 near-identical docs forming a small legitimate bucket
+    rows = [(i, "the same boilerplate page text repeated verbatim") for i in range(30)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta"),
+             (101, "alpha beta gamma delta epsilon zeta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    prof = {r["bucket_size"]: r["n_buckets"]
+            for r in simhash_bucket_profile(df).collect()}
+    assert prof.get(30) == 4  # the audit sees the hot chunks
+    assert prof.get(2) == 4
+
+    uncapped = simhash_near_duplicates(df, max_hamming=3).toPandas()
+    assert len(uncapped) == 30 * 29 // 2 + 1
+    capped = simhash_near_duplicates(df, max_hamming=3, max_bucket=10).toPandas()
+    pairs = set(zip(capped["doc_a"], capped["doc_b"]))
+    assert pairs == {(100, 101)}, pairs

@@ -206,7 +206,23 @@ def test_embedding_near_dups_join_is_bucketed_not_allpairs(spark):
     plan = _plan(q(spark, "/root/testdata/sf0.001"))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "lsh_sig" in plan  # the equi-join key is the signature bucket
+    assert "sig" in plan  # the equi-join key is the signature bucket
+
+
+def test_embedding_lsh_params_scale_with_corpus():
+    """Round-2 review fix: the signature width must grow with corpus size
+    (fixed 8 planes = 256 buckets goes O(bucket²) at 10^12 vectors), and
+    widened signatures must go multi-band for recall."""
+    from pdf2doi_spark.operators.similarity import embedding_lsh_params
+
+    assert embedding_lsh_params(500) == (1, 8)        # driver scale: r2 shape
+    assert embedding_lsh_params(2 ** 16) == (1, 8)    # last single-band size
+    nb, ppb = embedding_lsh_params(10 ** 9)
+    assert nb == 4 and ppb >= 20
+    nb12, ppb12 = embedding_lsh_params(10 ** 12)
+    assert nb12 == 4 and ppb12 >= 30
+    # expected bucket occupancy stays bounded: n / 2^planes <= 2^9
+    assert 10 ** 12 / (2 ** ppb12) <= 512
 
 
 def test_simhash_near_dups_join_is_banded(spark):
