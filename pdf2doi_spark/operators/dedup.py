@@ -371,13 +371,20 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     surviving band."""
     bands = _simhash_bands(simhash(df, text_col))
     if max_bucket is not None:
-        ok = (
-            bands.groupBy("band_idx", "chunk")
-            .agg(F.count(F.lit(1)).alias("_n"))
+        # Guard via a count window over the banded key, NOT a separate
+        # groupBy+join: the window's Exchange partitions on exactly the
+        # key the self-join below needs, so Catalyst reuses ONE exchange
+        # for both join sides and the (expensive) simhash UDF runs once
+        # instead of four times (guard aggregate + each join side) —
+        # pinned by tests/test_plans.py::test_simhash_guard_reuses_exchange.
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band_idx", "chunk")
+        bands = (
+            bands.withColumn("_n", F.count(F.lit(1)).over(w))
             .filter(F.col("_n") <= max_bucket)
-            .select("band_idx", "chunk")
+            .drop("_n")
         )
-        bands = bands.join(ok, ["band_idx", "chunk"])
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))

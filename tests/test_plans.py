@@ -235,3 +235,20 @@ def test_simhash_near_dups_join_is_banded(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "band_idx" in plan and "chunk" in plan
+
+
+def test_simhash_guard_reuses_exchange(spark):
+    """The max_bucket guard is a count window over the banded key, so both
+    self-join sides sit on ONE canonically-identical shuffle — at runtime
+    AQE collapses the second into a ReusedExchange and the (expensive)
+    simhash pandas UDF executes once, not once per join side plus once for
+    a guard aggregate (the pre-fix plan ran it 4x)."""
+    from pdf2doi_spark.queries import _BUILDERS
+
+    df = _BUILDERS["simhash_near_dups"]()[0](spark, "/root/testdata/sf0.001")
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed
+    assert ("ReusedExchange" in executed) or ("ReusedQueryStage" in executed), (
+        executed[:2000]
+    )
