@@ -154,18 +154,29 @@ def _flagship(spark, pages_path: str):
     return extract_identifiers(pages)
 
 
+def _force(df) -> None:
+    """Evaluate EVERY column of the plan: write to Spark's noop sink.
+    ``df.count()`` is NOT a valid benchmark action for narrow-map queries —
+    Catalyst prunes unreferenced projections under a count, so a query
+    whose cost is its column expressions (token counting, zlib UDF, hash
+    signatures) times as a bare scan+count. The noop sink consumes every
+    row JVM-side with no serialization or I/O cost."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def _timed(df, runs: int = 2) -> tuple:
     """Steady-state timing: one warm pass, then min of ``runs`` timed passes
     (min because sandbox noise is one-sided — GC pauses and ambient CPU
     contention only ever add time; observed single-run spread on this box
     is up to ~30%). Returns (best_seconds, rows, all_run_seconds)."""
     if WARM:
-        df.count()
-    all_runs, n = [], 0
+        _force(df)
+    all_runs = []
     for _ in range(runs if WARM else 1):
         t0 = time.perf_counter()
-        n = df.count()
+        _force(df)
         all_runs.append(round(time.perf_counter() - t0, 2))
+    n = df.count()  # row count for throughput math; untimed
     return min(all_runs), n, all_runs
 
 
