@@ -2288,81 +2288,65 @@ def _q_ngram_jaccard():
     return q, sql
 
 
-def _q_embedding_near_dups():
-    """Embedding-cosine near-duplicate pairs, MinHash-shaped at scale:
-    hyperplane-signature buckets generate candidates (equi-join on
-    (band_idx, sig) — never an all-pairs or per-label quadratic join),
-    exact cosine verifies, threshold filters.
+def _emb_near_dups_spark(base: DataFrame, n_bands: int, ppb: int,
+                         dim: int = 64, twin_off: int = 10_000_000,
+                         threshold: float = 0.95) -> DataFrame:
+    """The parameterized Spark plan behind ``embedding_near_dups``:
+    plant twins, band the hyperplane signatures, candidate equi-join on
+    (band_idx, sig), exact-cosine verify. Split out from the builder so
+    the WIDE multi-band regime (n_bands > 1, which the formula only
+    selects above 2^16 vectors) is pytest-exercisable against the same
+    oracle SQL at small scale (tests/test_operators.py::
+    test_embedding_near_dups_multiband_oracle)."""
+    from pdf2doi_spark.operators.similarity import (
+        _dot, _norm, banded_lsh_signatures,
+    )
 
-    Round-2 review fix: the signature WIDTH now scales with corpus size
-    via ``similarity.embedding_lsh_params`` — log2(n)-scaled planes keep
-    expected bucket occupancy ~2^8 per band at any scale (the fixed
-    8-plane/256-bucket signature went O(bucket²) at 10^12 vectors), and
-    past 8 planes the scheme goes 4-band (candidate on ANY band match) to
-    restore pair recall. At the driver scale the formula yields the same
-    (1 band, 8 planes) signature round 2 ran; the oracle derives the SAME
-    params from the oracle-dir row count. Bucket sizes are audited by
-    ``dedup_bucket_profile``.
+    twins = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + twin_off).alias("vec_id"),
+        F.transform(
+            "v",
+            lambda x, i: x * F.when(i % 2 == 0, F.lit(1.02)).otherwise(F.lit(0.98)),
+        ).alias("v"),
+    )
+    aug = base.unionByName(twins)
+    bands = banded_lsh_signatures(aug, n_bands, ppb, dim, "v")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.sig") == F.col("b.sig"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = aug.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    vb = aug.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb"))
+        / (_norm(F.col("va")) * _norm(F.col("vb"))), 6
+    )
+    return (
+        cand.join(va, "vec_a").join(vb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
 
-    Near-dups are PLANTED deterministically so the check is non-vacuous
-    (round 1 compared 0 rows to 0 rows): every 10th vector gets a twin
-    scaled ±2% on alternating dims — cosine ≥ 0.999 by construction, and
-    both engines build the twin with identical double arithmetic."""
-    TWIN_OFF = 10_000_000
 
-    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from pdf2doi_spark.operators.similarity import (
-            _dot, _norm, banded_lsh_signatures, embedding_lsh_params,
-        )
-
-        base = _emb(spark, sf_dir).select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-        )
-        n_bands, ppb = embedding_lsh_params(base.count())
-        twins = base.filter(F.col("vec_id") % 10 == 0).select(
-            (F.col("vec_id") + TWIN_OFF).alias("vec_id"),
-            F.transform(
-                "v",
-                lambda x, i: x * F.when(i % 2 == 0, F.lit(1.02)).otherwise(F.lit(0.98)),
-            ).alias("v"),
-        )
-        aug = base.unionByName(twins)
-        bands = banded_lsh_signatures(aug, n_bands, ppb, 64, "v")
-        a, b = bands.alias("a"), bands.alias("b")
-        cand = (
-            a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
-                   & (F.col("a.sig") == F.col("b.sig"))
-                   & (F.col("a.vec_id") < F.col("b.vec_id")))
-            .select(F.col("a.vec_id").alias("vec_a"),
-                    F.col("b.vec_id").alias("vec_b"))
-            .distinct()
-        )
-        va = aug.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-        vb = aug.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-        cos = F.round(
-            _dot(F.col("va"), F.col("vb"))
-            / (_norm(F.col("va")) * _norm(F.col("vb"))), 6
-        )
-        return (
-            cand.join(va, "vec_a").join(vb, "vec_b")
-            .select("vec_a", "vec_b", cos.alias("cosine"))
-            .filter(F.col("cosine") >= 0.95)
-            .orderBy("vec_a", "vec_b")
-        )
-
-    emb_params = _emb_oracle_lsh_params()
-    if emb_params is None:
-        return q, None  # testdata absent: rows-only fallback
-    nb, ppb = emb_params
-    sql = f"""
+def _emb_near_dups_sql(nb: int, ppb: int, dim: int = 64,
+                       twin_off: int = 10_000_000,
+                       threshold: float = 0.95) -> str:
+    """The parameterized DuckDB oracle for ``_emb_near_dups_spark`` (same
+    params => same result set)."""
+    return f"""
         WITH base AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings
         ), aug AS (
           SELECT vec_id, v FROM base
           UNION ALL
-          SELECT vec_id + {TWIN_OFF} AS vec_id,
+          SELECT vec_id + {twin_off} AS vec_id,
                  [v[i] * (CASE WHEN (i-1)%2 = 0 THEN 1.02 ELSE 0.98 END)
                   for i in range(1, len(v)+1)] AS v
           FROM base WHERE vec_id % 10 = 0
@@ -2370,7 +2354,7 @@ def _q_embedding_near_dups():
           SELECT p, d,
                  CASE WHEN ('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 2))::INT & 1 = 1
                       THEN 1.0 ELSE -1.0 END AS s
-          FROM (SELECT unnest(range(0, {nb * ppb})) AS p), (SELECT unnest(range(0, 64)) AS d)
+          FROM (SELECT unnest(range(0, {nb * ppb})) AS p), (SELECT unnest(range(0, {dim})) AS d)
         ), pl AS (
           -- ordered plane vectors: the projection below is an ORDERED
           -- list_dot_product, matching Spark's left-to-right fold exactly
@@ -2398,10 +2382,48 @@ def _q_embedding_near_dups():
           JOIN aug b ON b.vec_id = c.vec_b
         )
         SELECT vec_a, vec_b, cosine FROM scored
-        WHERE cosine >= 0.95
+        WHERE cosine >= {threshold}
         ORDER BY vec_a, vec_b
     """
-    return q, sql
+
+
+def _q_embedding_near_dups():
+    """Embedding-cosine near-duplicate pairs, MinHash-shaped at scale:
+    hyperplane-signature buckets generate candidates (equi-join on
+    (band_idx, sig) — never an all-pairs or per-label quadratic join),
+    exact cosine verifies, threshold filters.
+
+    Round-2 review fix: the signature WIDTH now scales with corpus size
+    via ``similarity.embedding_lsh_params`` — log2(n)-scaled planes keep
+    expected bucket occupancy ~2^8 per band at any scale (the fixed
+    8-plane/256-bucket signature went O(bucket²) at 10^12 vectors), and
+    past 8 planes the scheme goes 4-band (candidate on ANY band match) to
+    restore pair recall. At the driver scale the formula yields the same
+    (1 band, 8 planes) signature round 2 ran — the WIDE regime is pinned
+    separately against the same parameterized oracle by
+    tests/test_operators.py::test_embedding_near_dups_multiband_oracle —
+    and the oracle derives the SAME params from the oracle-dir row count.
+    Bucket sizes are audited by ``dedup_bucket_profile``.
+
+    Near-dups are PLANTED deterministically so the check is non-vacuous
+    (round 1 compared 0 rows to 0 rows): every 10th vector gets a twin
+    scaled ±2% on alternating dims — cosine ≥ 0.999 by construction, and
+    both engines build the twin with identical double arithmetic."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.similarity import embedding_lsh_params
+
+        base = _emb(spark, sf_dir).select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        n_bands, ppb = embedding_lsh_params(base.count())
+        return _emb_near_dups_spark(base, n_bands, ppb)
+
+    emb_params = _emb_oracle_lsh_params()
+    if emb_params is None:
+        return q, None  # testdata absent: rows-only fallback
+    nb, ppb = emb_params
+    return q, _emb_near_dups_sql(nb, ppb)
 
 
 def _q_sessionize():

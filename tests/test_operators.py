@@ -1308,3 +1308,46 @@ def test_simhash_max_bucket_guard_drops_hot_chunk(spark):
     capped = simhash_near_duplicates(df, max_hamming=3, max_bucket=10).toPandas()
     pairs = set(zip(capped["doc_a"], capped["doc_b"]))
     assert pairs == {(100, 101)}, pairs
+
+
+def test_embedding_near_dups_multiband_oracle(spark, sf_dir):
+    """The WIDE multi-band LSH regime (n_bands > 1) only activates above
+    2^16 vectors, so the driver row never executes it — pin it here at
+    small scale with forced params against the SAME parameterized DuckDB
+    oracle, and check the planted twins' recall against brute-force
+    ground truth."""
+    import duckdb as _duckdb
+
+    from pdf2doi_spark.queries import (
+        _emb_near_dups_spark, _emb_near_dups_sql,
+    )
+    from tests.test_driver_contract import _canon
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+    )
+    got = _emb_near_dups_spark(base, n_bands=4, ppb=12).toPandas()
+
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = con.execute(_emb_near_dups_sql(4, 12)).df()
+    assert len(got) == len(want)
+    assert _canon(got.copy()).equals(_canon(want.copy()))
+
+    # recall of the planted >=0.999-cosine twins: every 10th vec_id has a
+    # twin at vec_id + 10_000_000; 4 bands of 12 planes should recover
+    # nearly all of them (per-plane flip ~1.4%, per-band match ~0.84,
+    # miss-all-4 ~0.07%)
+    n_twins = base.filter(F.col("vec_id") % 10 == 0).count()
+    twin_pairs = set(
+        zip(got["vec_a"], got["vec_b"])
+    ) & {(v, v + 10_000_000) for v in range(0, 10 ** 7, 10)}
+    assert n_twins > 0
+    assert len(twin_pairs) / n_twins >= 0.9, (len(twin_pairs), n_twins)
