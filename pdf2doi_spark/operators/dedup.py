@@ -184,13 +184,21 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
     """
     b = minhash_bands(df, text_col, num_hashes, bands)
     if max_bucket is not None:
-        ok = (
-            b.groupBy("band_idx", "band_hash")
-            .agg(F.count(F.lit(1)).alias("_n"))
+        # Guard via a count window over the banded key, NOT a separate
+        # groupBy+join: the window's Exchange partitions on exactly the
+        # key the self-join below needs, so Catalyst reuses ONE exchange
+        # for both join sides and the (expensive) shingle/minhash work
+        # runs once instead of three times (guard aggregate + each join
+        # side) — same reuse contract as ``simhash_near_duplicates``,
+        # pinned by tests/test_plans.py::test_minhash_guard_reuses_exchange.
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band_idx", "band_hash")
+        b = (
+            b.withColumn("_n", F.count(F.lit(1)).over(w))
             .filter(F.col("_n") <= max_bucket)
-            .select("band_idx", "band_hash")
+            .drop("_n")
         )
-        b = b.join(ok, ["band_idx", "band_hash"])
     left = b.alias("l")
     right = b.alias("r")
     return (

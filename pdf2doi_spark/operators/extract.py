@@ -279,7 +279,12 @@ def extract_identifiers(pages: DataFrame, replace_arxiv: bool = True,
     # own inputs) would put duplicate fields in the output schema string
     # and silently overwrite a computed column before a confusing runtime
     # failure — reject it up front
-    _reserved = {"url", "html", "text"} | {
+    _reserved = {"url", "html", "text",
+                 # the optional broadcast cache join adds these two before
+                 # the kernel runs — a passthrough with either name would
+                 # recreate the ambiguous-column failure this guard exists
+                 # to prevent, so reserve them whether or not cache is set
+                 "cached_identifier", "cached_identifier_type"} | {
         f.split()[0] for f in RESULT_SCHEMA.split(", ")
     }
     bad = [c for c in passthrough if c in _reserved]

@@ -113,7 +113,7 @@ def banded_lsh_signatures(df: DataFrame, n_bands: int, planes_per_band: int,
     return df.select(
         "*", F.explode(F.array(*band_structs)).alias("_b")
     ).select(*df.columns, F.col("_b.band_idx").alias("band_idx"),
-             F.col("_b.sig").alias("sig")).drop("_b")
+             F.col("_b.sig").alias("sig"))
 
 
 def lsh_bucket_profile(df: DataFrame, n_bands: int, planes_per_band: int,

@@ -259,7 +259,7 @@ def merge_cache(spark: SparkSession, cache_path: str, results: DataFrame,
         # can be dropped immediately. (Round-2 review: the full-cache
         # ``result.count()`` that used to sit here was a pointless O(cache)
         # scan per merge at a billions-row cache —
-        # tests/test_cache.py::test_merge_cache_never_counts pins its
+        # tests/test_operators.py::test_merge_cache_never_counts pins its
         # absence.)
         _rmtree(cache_path + ".tmp", spark)
         # pin the modulus for every later merge
@@ -317,17 +317,20 @@ def run_resumable(
     else:
         _fs_write_small(spark, marker, str(n_shards))
 
+    def _has_result_data() -> bool:
+        return fs_exists(spark, results_path) and any(
+            name.startswith("shard=")
+            for name in _fs_child_names(spark, results_path)
+        )
+
     def _read_results() -> DataFrame:
         # an all-empty input writes no parquet part files, so a plain
         # read-back would die on schema inference — return a typed empty
-        # frame instead (same columns a non-empty run produces)
-        fs, hp = _fs(spark, results_path)
-        has_data = fs.exists(hp) and any(
-            s.getPath().getName().startswith("shard=")
-            for s in fs.listStatus(hp)
-        )
-        if not has_data:
-            return spark.createDataFrame([], RESULT_SCHEMA + ", shard bigint")
+        # frame instead ("shard int" to match what parquet partition-column
+        # inference yields on the non-empty branch, so the two branches
+        # never disagree on the schema)
+        if not _has_result_data():
+            return spark.createDataFrame([], RESULT_SCHEMA + ", shard int")
         return spark.read.parquet(results_path)
 
     done = completed_shards(spark, manifest_path)
@@ -362,6 +365,23 @@ def run_resumable(
         .partitionBy("shard")
         .parquet(results_path)
     )
+
+    if not done and not _has_result_data():
+        # First run over an EMPTY input: do NOT write the manifest. The
+        # zero-fill backfill below would mark every shard done and SEAL the
+        # out_dir — and the most common cause of an all-empty first run is
+        # a mistyped input path/glob, which must stay loudly retryable with
+        # the same out_dir once corrected, not silently short-circuit to
+        # stored-empty forever (round-3 review finding).
+        import warnings
+
+        warnings.warn(
+            f"run_resumable: input produced 0 rows; {out_dir} was NOT "
+            "sealed (no manifest written) — check the input path/glob and "
+            "rerun.",
+            stacklevel=2,
+        )
+        return _read_results()
 
     # Manifest derived from the data itself (never ahead of it); counters =
     # the per-partition lineage metrics the north rule asks for. Only the

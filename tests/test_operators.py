@@ -1228,27 +1228,44 @@ def test_merge_cache_never_counts(spark, tmp_path, monkeypatch):
 
 
 def test_run_resumable_empty_input_and_sealed_warning(spark, tmp_path):
-    """ADVICE round-2: a first run over an EMPTY input used to write no
-    parquet part files and die on schema inference at read-back; and a
-    sealed out_dir silently returned stale results. Empty input now yields
-    a typed empty frame, and the sealed short-circuit warns."""
+    """ADVICE round-2 + round-3 review: a first run over an EMPTY input
+    used to (a) die on schema inference at read-back and then — once that
+    was fixed — (b) permanently seal the out_dir, so a corrected input
+    silently returned stored-empty forever (the common cause of an
+    all-empty first run is a mistyped input glob). Now an empty FIRST run
+    returns a typed empty frame, warns, and leaves the out_dir UNSEALED;
+    a rerun on the same out_dir with the corrected input processes it in
+    full. A genuinely completed run still seals and warns on reuse."""
     import warnings
 
     from pdf2doi_spark.sources.io import run_resumable
 
     out = str(tmp_path / "resumable_empty")
-    pages = spark.createDataFrame(
+    empty = spark.createDataFrame(
         [], "url string, html binary, text string"
     )
-    res = run_resumable(spark, pages, out, n_shards=4)
-    assert res.count() == 0
-    assert "identifier" in res.columns and "shard" in res.columns
-    # second call: all 4 shards are recorded done -> sealed warning fires
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        res2 = run_resumable(spark, pages, out, n_shards=4)
-        assert res2.count() == 0
-    assert any("sealed" in str(x.message) for x in w)
+        res = run_resumable(spark, empty, out, n_shards=4)
+        assert res.count() == 0
+    assert "identifier" in res.columns and "shard" in res.columns
+    assert any("NOT sealed" in str(x.message) for x in w)
+
+    # mistyped-glob recovery: SAME out_dir, corrected (non-empty) input
+    pages = spark.createDataFrame(
+        [(f"https://h{i}.org/p", bytearray(b"<html></html>"), "t")
+         for i in range(3)],
+        "url string, html binary, text string",
+    )
+    res2 = run_resumable(spark, pages, out, n_shards=4)
+    assert res2.count() == 3
+
+    # a completed non-empty run seals; a later call warns + is O(1)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res3 = run_resumable(spark, pages, out, n_shards=4)
+        assert res3.count() == 3
+    assert any("is sealed" in str(x.message) for x in w)
 
 
 def test_pack_sequences_null_inputs_fail_fast(spark):
@@ -1279,6 +1296,13 @@ def test_extract_passthrough_rejects_reserved_names(spark):
         extract_identifiers(pages, passthrough=["identifier"])
     with _pytest.raises(ValueError, match="collide"):
         extract_identifiers(pages, passthrough=["html"])
+    # round-3 review: the broadcast cache join adds these two columns
+    # before the kernel runs — a passthrough with either name would
+    # recreate the exact ambiguous-column failure the guard prevents
+    with _pytest.raises(ValueError, match="collide"):
+        extract_identifiers(pages, passthrough=["cached_identifier"])
+    with _pytest.raises(ValueError, match="collide"):
+        extract_identifiers(pages, passthrough=["cached_identifier_type"])
 
 
 def test_simhash_max_bucket_guard_drops_hot_chunk(spark):

@@ -252,3 +252,24 @@ def test_simhash_guard_reuses_exchange(spark):
     assert ("ReusedExchange" in executed) or ("ReusedQueryStage" in executed), (
         executed[:2000]
     )
+
+
+def test_minhash_guard_reuses_exchange(spark):
+    """Round-3 review: the same exchange-reuse contract as the simhash
+    guard applies to minhash_candidate_pairs — its max_bucket guard is now
+    a count window over (band_idx, band_hash), so both self-join sides sit
+    on ONE canonically-identical shuffle and the shingle/minhash work runs
+    once, not once per join side plus once for a guard aggregate."""
+    from pdf2doi_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.col("doc_id"), F.col("text"))
+    )
+    df = minhash_candidate_pairs(docs, max_bucket=50)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed
+    assert ("ReusedExchange" in executed) or ("ReusedQueryStage" in executed), (
+        executed[:2000]
+    )
