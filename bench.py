@@ -168,15 +168,26 @@ def _timed(df, runs: int = 2) -> tuple:
     """Steady-state timing: one warm pass, then min of ``runs`` timed passes
     (min because sandbox noise is one-sided — GC pauses and ambient CPU
     contention only ever add time; observed single-run spread on this box
-    is up to ~30%). Returns (best_seconds, rows, all_run_seconds)."""
+    is up to ~30%). Returns (best_seconds, rows, all_run_seconds).
+
+    The row count for throughput math rides along on the timed passes via
+    ``df.observe`` (a pipelined CollectMetrics count, negligible and
+    applied to every pass uniformly) — a separate ``df.count()`` would
+    re-execute the full plan a fourth time for queries whose cost lives in
+    joins/filters that a count cannot prune (round-3 review)."""
+    from pyspark.sql import Observation, functions as F
+
     if WARM:
         _force(df)
     all_runs = []
+    n = None
     for _ in range(runs if WARM else 1):
+        obs = Observation()
+        dfo = df.observe(obs, F.count(F.lit(1)).alias("n"))
         t0 = time.perf_counter()
-        _force(df)
+        _force(dfo)
         all_runs.append(round(time.perf_counter() - t0, 2))
-    n = df.count()  # row count for throughput math; untimed
+        n = obs.get["n"]
     return min(all_runs), n, all_runs
 
 

@@ -37,6 +37,44 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pdf2doi_spark.operators.quality import norm_text as _norm_text
 
 
+def cap_buckets(bands: DataFrame, keys: List[str], max_bucket: int) -> DataFrame:
+    """Skew guard shared by every banded candidate join (minhash, simhash,
+    embedding LSH): drop rows whose bucket (the ``keys`` group) has more
+    than ``max_bucket`` members — a bucket of B docs contributes B² pair
+    rows to the self-join, so one hot bucket would dominate the job.
+
+    Implemented as a count window over the banded key, NOT a separate
+    groupBy+join: the window's Exchange partitions on exactly the key the
+    self-join needs, so Catalyst reuses ONE exchange for both join sides
+    and the (expensive) signature computation runs once instead of three
+    or four times (guard aggregate + each join side) — pinned by
+    tests/test_plans.py::test_minhash_guard_reuses_exchange and
+    ::test_simhash_guard_reuses_exchange."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        bands.withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
+
+
+def bucket_histogram(bands: DataFrame, keys: List[str]) -> DataFrame:
+    """Bucket-size distribution ``(bucket_size, n_buckets)`` of a banded
+    join key, largest first — the skew audit to run BEFORE a crawl-scale
+    candidate join and before choosing ``cap_buckets``'s ``max_bucket``.
+    Shared by the minhash / simhash / embedding-LSH profiles so the three
+    audits emit one schema (``_q_dedup_bucket_profile`` unions them)."""
+    return (
+        bands.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .groupBy("bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .orderBy(F.desc("bucket_size"))
+    )
+
+
 def has_min_words(col: Column, n: int = 3) -> Column:
     """Codegen-able equivalent of ``size(word_shingles(col, n)) > 0``.
 
@@ -155,13 +193,7 @@ def minhash_bucket_profile(df: DataFrame, text_col: str = "text",
     first. A handful of giant buckets (empty pages, shared boilerplate)
     is what turns the band self-join quadratic."""
     b = minhash_bands(df, text_col, num_hashes, bands)
-    return (
-        b.groupBy("band_idx", "band_hash")
-        .agg(F.count(F.lit(1)).alias("bucket_size"))
-        .groupBy("bucket_size")
-        .agg(F.count(F.lit(1)).alias("n_buckets"))
-        .orderBy(F.desc("bucket_size"))
-    )
+    return bucket_histogram(b, ["band_idx", "band_hash"])
 
 
 def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
@@ -184,21 +216,7 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
     """
     b = minhash_bands(df, text_col, num_hashes, bands)
     if max_bucket is not None:
-        # Guard via a count window over the banded key, NOT a separate
-        # groupBy+join: the window's Exchange partitions on exactly the
-        # key the self-join below needs, so Catalyst reuses ONE exchange
-        # for both join sides and the (expensive) shingle/minhash work
-        # runs once instead of three times (guard aggregate + each join
-        # side) — same reuse contract as ``simhash_near_duplicates``,
-        # pinned by tests/test_plans.py::test_minhash_guard_reuses_exchange.
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("band_idx", "band_hash")
-        b = (
-            b.withColumn("_n", F.count(F.lit(1)).over(w))
-            .filter(F.col("_n") <= max_bucket)
-            .drop("_n")
-        )
+        b = cap_buckets(b, ["band_idx", "band_hash"], max_bucket)
     left = b.alias("l")
     right = b.alias("r")
     return (
@@ -347,13 +365,7 @@ def simhash_bucket_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     concentrate fingerprints into hot chunks, and one hot chunk of B docs
     emits B² candidate rows."""
     b = _simhash_bands(simhash(df, text_col))
-    return (
-        b.groupBy("band_idx", "chunk")
-        .agg(F.count(F.lit(1)).alias("bucket_size"))
-        .groupBy("bucket_size")
-        .agg(F.count(F.lit(1)).alias("n_buckets"))
-        .orderBy(F.desc("bucket_size"))
-    )
+    return bucket_histogram(b, ["band_idx", "chunk"])
 
 
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
@@ -379,20 +391,7 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     surviving band."""
     bands = _simhash_bands(simhash(df, text_col))
     if max_bucket is not None:
-        # Guard via a count window over the banded key, NOT a separate
-        # groupBy+join: the window's Exchange partitions on exactly the
-        # key the self-join below needs, so Catalyst reuses ONE exchange
-        # for both join sides and the (expensive) simhash UDF runs once
-        # instead of four times (guard aggregate + each join side) —
-        # pinned by tests/test_plans.py::test_simhash_guard_reuses_exchange.
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("band_idx", "chunk")
-        bands = (
-            bands.withColumn("_n", F.count(F.lit(1)).over(w))
-            .filter(F.col("_n") <= max_bucket)
-            .drop("_n")
-        )
+        bands = cap_buckets(bands, ["band_idx", "chunk"], max_bucket)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))

@@ -293,6 +293,13 @@ def extract_identifiers(pages: DataFrame, replace_arxiv: bool = True,
             f"passthrough column(s) {bad} collide with the result/input "
             f"schema ({sorted(_reserved)}); rename them upstream"
         )
+    if len(set(passthrough)) != len(passthrough):
+        # duplicates WITHIN the list produce the same duplicate-fields
+        # schema failure the reserved-name check guards against
+        dupes = sorted({c for c in passthrough if passthrough.count(c) > 1})
+        raise ValueError(
+            f"passthrough contains duplicate column name(s) {dupes}"
+        )
     cols = ["url", "html", "text"] + passthrough
     df = pages.select(*cols)
     if cache is not None:

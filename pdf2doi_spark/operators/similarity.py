@@ -121,14 +121,10 @@ def lsh_bucket_profile(df: DataFrame, n_bands: int, planes_per_band: int,
     """Bucket-size histogram of the signature join key — the audit to run
     before an embedding near-dup pass (same contract as
     ``dedup.minhash_bucket_profile``)."""
+    from pdf2doi_spark.operators.dedup import bucket_histogram
+
     b = banded_lsh_signatures(df, n_bands, planes_per_band, dim, vec_col)
-    return (
-        b.groupBy("band_idx", "sig")
-        .agg(F.count(F.lit(1)).alias("bucket_size"))
-        .groupBy("bucket_size")
-        .agg(F.count(F.lit(1)).alias("n_buckets"))
-        .orderBy(F.desc("bucket_size"))
-    )
+    return bucket_histogram(b, ["band_idx", "sig"])
 
 
 def _plane_signs(n_planes: int, dim: int) -> List[List[int]]:

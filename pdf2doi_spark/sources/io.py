@@ -351,6 +351,27 @@ def run_resumable(
     if done:
         sharded = sharded.filter(~F.col("shard").isin(*sorted(done)))
 
+    if sharded.isEmpty():
+        # THIS run observed zero pending input rows — never seal on that.
+        # The probe is a limit-1 job (first-file footer at 100 TB, so
+        # effectively free on the normal path), and it keys the guard on
+        # the run's own observation rather than on stored data: a stored-
+        # data check would let a crashed-partial first run followed by a
+        # retry with a mistyped (empty) input glob slip past the guard and
+        # zero-backfill every shard 'done', permanently sealing partial
+        # results (round-3 review). The most common cause of an all-empty
+        # pending input is that mistyped path/glob, which must stay loudly
+        # retryable with the same out_dir once corrected.
+        import warnings
+
+        warnings.warn(
+            f"run_resumable: pending input is empty; {out_dir} was NOT "
+            "sealed (no manifest written) — check the input path/glob and "
+            "rerun.",
+            stacklevel=2,
+        )
+        return _read_results()
+
     pending = extract_identifiers(
         sharded.select("url", "html", "text"), replace_arxiv=replace_arxiv, cache=cache
     ).withColumn("shard", shard_column(n_shards))
@@ -365,23 +386,6 @@ def run_resumable(
         .partitionBy("shard")
         .parquet(results_path)
     )
-
-    if not done and not _has_result_data():
-        # First run over an EMPTY input: do NOT write the manifest. The
-        # zero-fill backfill below would mark every shard done and SEAL the
-        # out_dir — and the most common cause of an all-empty first run is
-        # a mistyped input path/glob, which must stay loudly retryable with
-        # the same out_dir once corrected, not silently short-circuit to
-        # stored-empty forever (round-3 review finding).
-        import warnings
-
-        warnings.warn(
-            f"run_resumable: input produced 0 rows; {out_dir} was NOT "
-            "sealed (no manifest written) — check the input path/glob and "
-            "rerun.",
-            stacklevel=2,
-        )
-        return _read_results()
 
     # Manifest derived from the data itself (never ahead of it); counters =
     # the per-partition lineage metrics the north rule asks for. Only the

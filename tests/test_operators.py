@@ -1268,6 +1268,72 @@ def test_run_resumable_empty_input_and_sealed_warning(spark, tmp_path):
     assert any("is sealed" in str(x.message) for x in w)
 
 
+def test_run_resumable_partial_crash_then_empty_input_not_sealed(
+        spark, tmp_path):
+    """Round-3 review #2: a run that crashed AFTER writing some shard
+    partitions but BEFORE the manifest, followed by a retry with a
+    mistyped (empty) input glob, must NOT seal the out_dir — the old
+    guard keyed on stored data, so the stale shard dirs slipped past it
+    and the zero-fill backfill marked every shard done, silently freezing
+    partial results forever. The guard now keys on whether THIS run
+    observed any pending input rows."""
+    import shutil
+    import warnings
+
+    from pdf2doi_spark.sources.io import run_resumable
+
+    pages = spark.createDataFrame(
+        [(f"https://h{i}.org/p", bytearray(b"<html></html>"), "t")
+         for i in range(6)],
+        "url string, html binary, text string",
+    )
+    out = str(tmp_path / "partial_crash")
+    run_resumable(spark, pages, out, n_shards=4)
+    # simulate the crash window: data written, manifest never recorded
+    shutil.rmtree(f"{out}/manifest")
+
+    empty = spark.createDataFrame([], "url string, html binary, text string")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res = run_resumable(spark, empty, out, n_shards=4)
+        # returns the stale-but-valid stored shards, with the warning
+        assert res.count() == 6
+    assert any("NOT sealed" in str(x.message) for x in w)
+    assert not os.path.exists(f"{out}/manifest"), "empty retry sealed the dir"
+
+    # corrected retry with the real input completes and seals normally
+    res2 = run_resumable(spark, pages, out, n_shards=4)
+    assert res2.count() == 6
+    man = spark.read.parquet(f"{out}/manifest")
+    assert man.count() == 4
+    assert man.agg(F.sum("n_docs")).first()[0] == 6
+
+
+def test_approx_stats_two_doc_group_verdict_true(spark, tmp_path):
+    """Round-3 review #1: for a 2-doc source with different text lengths,
+    percentile_approx(0.5) returns an actual data value, while an exact
+    INTERPOLATED [p25, p75] band sits strictly between the two lengths —
+    the old verdict declared a healthy, spec-compliant sketch broken (and
+    would have turned the driver row red on any fixture with a tiny
+    source). The band bounds are now discrete sketch quantiles, TRUE by
+    rank separation for every spec-compliant sketch."""
+    import pandas as pd
+
+    from pdf2doi_spark.queries import _BUILDERS
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["a", "b"], "source": ["tiny", "tiny"],
+        "text": ["x" * 10, "y" * 20], "lang": ["en", "en"],
+        "url": ["u1", "u2"],
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-02"]),
+    }))
+    docs.write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    out = _BUILDERS["approx_stats"]()[0](spark, str(tmp_path)).toPandas()
+    assert bool(out["approx_median_ok"].all()), out.to_string()
+    assert bool(out["hll_texts_ok"].all()) and bool(out["hll_ids_ok"].all())
+
+
 def test_pack_sequences_null_inputs_fail_fast(spark):
     """NULL order keys / token counts must raise the documented error, not
     a bare int(nan) ValueError mid-executor."""
@@ -1303,6 +1369,11 @@ def test_extract_passthrough_rejects_reserved_names(spark):
         extract_identifiers(pages, passthrough=["cached_identifier"])
     with _pytest.raises(ValueError, match="collide"):
         extract_identifiers(pages, passthrough=["cached_identifier_type"])
+    # round-3 review #2: duplicates WITHIN the passthrough list produce
+    # the same duplicate-fields schema failure the guard exists to prevent
+    with _pytest.raises(ValueError, match="duplicate"):
+        extract_identifiers(pages.withColumnRenamed("identifier", "lang"),
+                            passthrough=["lang", "lang"])
 
 
 def test_simhash_max_bucket_guard_drops_hot_chunk(spark):

@@ -206,7 +206,10 @@ def test_embedding_near_dups_join_is_bucketed_not_allpairs(spark):
     plan = _plan(q(spark, "/root/testdata/sf0.001"))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "sig" in plan  # the equi-join key is the signature bucket
+    # the equi-join key is the BANDED signature bucket — "band_idx" pins
+    # the multi-band key (a bare "sig" substring would still match a
+    # regression to the old single fixed-signature column, round-3 review)
+    assert "band_idx" in plan, plan
 
 
 def test_embedding_lsh_params_scale_with_corpus():
