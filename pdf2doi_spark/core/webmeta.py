@@ -63,6 +63,31 @@ _ANCHOR_RE = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.I | re.S)
 _TAG_RE = re.compile(r"<[^>]+>")
 _WS_RE = re.compile(r"[ \t\r\n\f\v]+")
 
+# Fast path for ``_WS_RE.sub(" ", s)`` — the hottest single pass in the
+# kernel (the pattern matches at EVERY inter-word space, so re.sub
+# rebuilds the string from dozens of fragments; ~68% of block-scoring
+# time on the synthetic corpus). Equivalent by construction: translate
+# maps each dirty whitespace char to a space preserving run boundaries,
+# so every maximal [ \t\r\n\f\v]+ run becomes an all-space run of the
+# same length; the multi-space collapse then reduces each to one space —
+# exactly ``_WS_RE.sub``'s output. Each pass is gated on a C-speed
+# membership scan and skipped when it would be the identity. Pinned
+# byte-identical to ``_WS_RE.sub`` by
+# tests/test_kernel.py::test_collapse_ws_equivalence (hypothesis).
+_DIRTY_WS = "\t\r\n\f\v"
+_WS_TRANSLATE = str.maketrans({c: " " for c in _DIRTY_WS})
+_MULTISPACE_RE = re.compile(r" {2,}")
+
+
+def _collapse_ws(s: str) -> str:
+    for c in _DIRTY_WS:
+        if c in s:
+            s = s.translate(_WS_TRANSLATE)
+            break
+    if "  " in s:
+        s = _MULTISPACE_RE.sub(" ", s)
+    return s
+
 # Block-acceptance thresholds (fixed spec constants of this engine —
 # analogous to the reference's len>12 / >3-words title filters,
 # finders.py:412-435).
@@ -194,7 +219,7 @@ def extract_meta(html) -> List[Tuple[str, str]]:
         pairs.append((m.start(), m.group(2).strip().lower(), _unescape_basic(m.group(1).strip())))
     t = _TITLE_RE.search(text)
     if t:
-        pairs.append((t.start(), "title", _unescape_basic(_WS_RE.sub(" ", t.group(1)).strip())))
+        pairs.append((t.start(), "title", _unescape_basic(_collapse_ws(t.group(1)).strip())))
     pairs.sort(key=lambda p: p[0])
     seen = set()
     out: List[Tuple[str, str]] = []
@@ -217,9 +242,9 @@ def _block_stats(segment: str) -> Tuple[str, int, int]:
     # the anchor regex requires '<a'/'<A'; most content blocks have neither
     if "<a" in segment or "<A" in segment:
         for a in _ANCHOR_RE.finditer(segment):
-            link_chars += len(_WS_RE.sub(" ", _TAG_RE.sub(" ", a.group(1))).strip())
+            link_chars += len(_collapse_ws(_TAG_RE.sub(" ", a.group(1))).strip())
     visible = _TAG_RE.sub(" ", segment) if "<" in segment else segment
-    visible = _WS_RE.sub(" ", visible)
+    visible = _collapse_ws(visible)
     if "&" in visible:
         visible = _unescape_basic(visible)
     visible = visible.strip()

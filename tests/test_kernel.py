@@ -491,3 +491,16 @@ def test_ascii_scrub_honors_config_truncation(spark):
         assert len(out) == 100
     finally:
         config.reset()
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.text(alphabet=" \t\r\n\f\v" + "ab<>&;x   ", max_size=120))
+def test_collapse_ws_equivalence(s):
+    """_collapse_ws is the kernel's hottest pass; it must be byte-identical
+    to the _WS_RE.sub(" ", s) it replaces — including on UNICODE whitespace
+    (\\xa0, \\u2028, \\u1680 in the alphabet above), which the ASCII-only
+    _WS_RE deliberately does NOT collapse (so a str.split()-based shortcut
+    would be wrong, not just different)."""
+    from pdf2doi_spark.core.webmeta import _WS_RE, _collapse_ws
+
+    assert _collapse_ws(s) == _WS_RE.sub(" ", s)
