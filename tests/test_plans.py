@@ -276,3 +276,53 @@ def test_minhash_guard_reuses_exchange(spark):
     assert ("ReusedExchange" in executed) or ("ReusedQueryStage" in executed), (
         executed[:2000]
     )
+
+
+def test_quality_suite_is_map_only(spark, sf_dir):
+    """The fused quality suite (token/lang/score/fingerprint/scrub) is ONE
+    projection: zero Exchanges, zero Joins — at 100 TB it costs exactly a
+    scan plus column expressions, nothing moves."""
+    from pdf2doi_spark.queries import build_queries
+
+    plan = _plan(build_queries()["quality_suite"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+    assert "Join" not in plan, plan
+
+
+def test_pack_sequences_is_one_bin_shuffle(spark, sf_dir):
+    """Sequence packing must stay: one shuffle into bounded key-range bins
+    feeding applyInPandas (plus at most the ordered-output exchange) — no
+    Join and no global Window/row_number, which would serialize the greedy
+    on a single partition at scale."""
+    from pdf2doi_spark.queries import build_queries
+
+    plan = _plan(build_queries()["pack_sequences"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 0, plan
+
+
+def test_mixture_sample_broadcasts_fractions(spark, sf_dir):
+    """Mixture sampling joins each doc to its source's keep-fraction. The
+    fraction table is one row per source (tiny at ANY corpus size), so the
+    join must be broadcast — a SortMergeJoin here would shuffle the full
+    corpus by source, the skewed-key worst case."""
+    from pdf2doi_spark.queries import build_queries
+
+    plan = _plan(build_queries()["mixture_sample"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_line_dedup_plan_is_bounded(spark, sf_dir):
+    """C4-style global line dedup: explode -> first-occurrence window over
+    line hash -> reassemble. The plan must stay within its three designed
+    shuffles (line-hash window, doc reassembly, ordered output) and never
+    degenerate to a cartesian pairing of lines."""
+    from pdf2doi_spark.queries import build_queries
+
+    plan = _plan(build_queries()["line_dedup"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
