@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""End-to-end training-corpus construction pipeline.
+
+Chains the repo's LLM-data-pipeline operators the way a production
+pre-training run does, documents → packed training sequences:
+
+  1. signal projection — ONE scan, ONE projection: token counts, quality
+     score, and the dedup fingerprint computed alongside the carried
+     text/lang/source columns (no self-join back to the input);
+  2. quality gate — narrow filter on the projected signals;
+  3. exact dedup — first-occurrence window over the fingerprint
+     (one shuffle; NULL fingerprints = non-materialized text pass through,
+     matching operators.dedup's NULL-vs-empty contract);
+  4. near-dup pruning — MinHash→LSH candidates (banded self-join with the
+     max_bucket skew guard), exact-Jaccard verify on the candidate set
+     only, large-star/small-star connected components, keep each cluster's
+     min-doc_id root;
+  5. decontamination — shingle postings joined against the BROADCAST eval
+     set (eval-side denominator), flagged training docs anti-joined away;
+  6. mixture sampling — per-source token totals (one partial agg),
+     keep-fractions broadcast back, membership a pure md5 function of
+     doc_id (reproducible across runs/cluster sizes);
+  7. sequence packing — greedy token-budget packing inside bounded
+     key-range bins (one shuffle into applyInPandas, no global window).
+
+Every stage is one of the repo's tested operators; this file only
+composes them. Scale shape: stages 1-2 are map-only; 3 is one shuffle;
+4 shuffles only band keys and the post-LSH candidate set; 5-6 broadcast
+their small sides; 7 is one shuffle. Nothing collects to the driver
+except the final lineage counts (one bounded aggregate per stage).
+
+Usage (spark-submit --py-files pdf2doi_spark.zip, or plain python):
+
+    python examples/train_pipeline.py \
+        --sf-dir /root/testdata/sf0.001 --output /tmp/train_run \
+        [--budget 2048] [--quality-min 0.7] [--jaccard 0.8] \
+        [--targets '{"web": 0.5, "books": 0.5}'] [--eval-pct 1.0]
+
+With no --targets, every observed source gets an equal share. The eval
+set defaults to a deterministic hash sample of the input documents — a
+stand-in for a real benchmark table that also makes the decontamination
+stage non-vacuous (its members are flagged at overlap 1.0 and removed).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = 2048,
+    quality_min: float = 0.7,
+    min_tokens: int = 10,
+    jaccard_threshold: float = 0.8,
+    targets: dict | None = None,
+    eval_pct: float = 1.0,
+    evalset: DataFrame | None = None,
+):
+    """Returns (packed DataFrame, lineage dict). Lazy until the lineage
+    counts at the end; callers that only want the plan can skip those by
+    consuming the DataFrame themselves."""
+    from pdf2doi_spark.operators.dedup import (
+        connected_components_star,
+        contamination_overlap,
+        jaccard_pairs,
+        minhash_candidate_pairs,
+    )
+    from pdf2doi_spark.operators.packing import mixture_sample, pack_sequences
+    from pdf2doi_spark.operators.quality import (
+        hash_sample,
+        norm_text,
+        quality_score_cols,
+        token_count_cols,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    # -- 1. signal projection (one scan, one codegen span, text carried) --
+    t = F.col("text")
+    enriched = docs.select(
+        "doc_id", "text", "lang", "source",
+        *token_count_cols(t),
+        *quality_score_cols(t, with_n_tokens=False),
+        F.md5(norm_text(t)).alias("fp"),
+    )
+
+    # -- 2. quality gate (narrow) --
+    gated = enriched.filter(
+        (F.col("quality_score") >= quality_min) & (F.col("n_tokens") >= min_tokens)
+    )
+
+    # -- 3. exact dedup: first occurrence per fingerprint wins --
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("fp").isNull() | (F.col("_rn") == 1))
+        .drop("_rn")
+    )
+
+    # -- 4. near-dup pruning: LSH candidates -> exact verify -> CC roots --
+    pairs = minhash_candidate_pairs(deduped, text_col="text")
+    verified = jaccard_pairs(deduped, pairs, text_col="text",
+                             threshold=jaccard_threshold)
+    edges = verified.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    components = connected_components_star(edges)
+    non_roots = components.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    pruned = deduped.join(non_roots, "doc_id", "left_anti")
+
+    # -- 5. decontamination vs the (broadcast) eval set --
+    if evalset is None:
+        evalset = hash_sample(docs.select("doc_id", "text"), pct=eval_pct)
+    flagged = contamination_overlap(pruned, evalset, text_col="text").select(
+        F.col("train_doc_id").alias("doc_id")
+    ).distinct()
+    clean = pruned.join(flagged, "doc_id", "left_anti")
+
+    # -- 6. mixture sampling to target source shares --
+    if targets is None:
+        sources = [r["source"] for r in clean.select("source").distinct().collect()]
+        targets = {s: 1.0 / len(sources) for s in sources} if sources else {}
+    mixed = mixture_sample(clean, targets, source_col="source",
+                           token_col="n_tokens", key_col="doc_id")
+
+    # -- 7. pack into training sequences --
+    packed = pack_sequences(
+        mixed.select("doc_id", "lang", "n_tokens"),
+        budget=budget, token_col="n_tokens", group_col="lang",
+        order_col="doc_id",
+    )
+
+    lineage = {
+        "input_docs": docs.count(),
+        "quality_gated": gated.count(),
+        "exact_deduped": deduped.count(),
+        "near_dup_pruned": pruned.count(),
+        "decontaminated": clean.count(),
+        "mixture_sampled": mixed.count(),
+        "packed_docs": packed.count(),
+        "targets": targets,
+    }
+    return packed, lineage
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--budget", type=int, default=2048)
+    ap.add_argument("--quality-min", type=float, default=0.7)
+    ap.add_argument("--jaccard", type=float, default=0.8)
+    ap.add_argument("--targets", type=json.loads, default=None)
+    ap.add_argument("--eval-pct", type=float, default=1.0)
+    args = ap.parse_args()
+
+    from pdf2doi_spark.session import build_session
+
+    spark = build_session(app_name="train-pipeline")
+    packed, lineage = run_pipeline(
+        spark, args.sf_dir, budget=args.budget, quality_min=args.quality_min,
+        jaccard_threshold=args.jaccard, targets=args.targets,
+        eval_pct=args.eval_pct,
+    )
+    os.makedirs(args.output, exist_ok=True)
+    packed.write.mode("overwrite").parquet(os.path.join(args.output, "packed"))
+    with open(os.path.join(args.output, "lineage.json"), "w") as f:
+        json.dump(lineage, f, indent=2, sort_keys=True)
+    print(json.dumps(lineage, sort_keys=True))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""End-to-end composition test: the training-corpus pipeline example
+(examples/train_pipeline.py) chains quality gate → exact dedup → minhash
+near-dup pruning → decontamination → mixture sampling → sequence packing
+over the sf0.001 documents table and must uphold every stage's contract
+simultaneously — operators that pass alone can still disagree about
+column names, NULL semantics, or determinism when composed."""
+import importlib.util
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+_SPEC = importlib.util.spec_from_file_location(
+    "train_pipeline",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "examples", "train_pipeline.py"),
+)
+train_pipeline = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(train_pipeline)
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark, sf_dir):
+    packed, lineage = train_pipeline.run_pipeline(
+        spark, sf_dir, budget=256, eval_pct=1.0)
+    return packed.cache(), lineage
+
+
+def test_lineage_counts_are_monotone_and_nonvacuous(pipeline_result):
+    _, lin = pipeline_result
+    order = ["input_docs", "quality_gated", "exact_deduped",
+             "near_dup_pruned", "decontaminated", "mixture_sampled"]
+    for a, b in zip(order, order[1:]):
+        assert lin[b] <= lin[a], (a, b, lin)
+    # at sf0.001 the near-dup, decontamination, and mixture stages must
+    # each actually remove documents — a pipeline that prunes nothing is
+    # testing nothing
+    assert lin["near_dup_pruned"] < lin["exact_deduped"], lin
+    assert lin["decontaminated"] < lin["near_dup_pruned"], lin
+    assert lin["mixture_sampled"] < lin["decontaminated"], lin
+    # packing is a reshape, never a filter: one output row per input doc
+    assert lin["packed_docs"] == lin["mixture_sampled"], lin
+
+
+def test_packed_sequences_respect_budget(pipeline_result):
+    packed, _ = pipeline_result
+    over = (
+        packed.groupBy("lang", "bin", "chunk_in_bin")
+        .agg(F.sum("n_tokens").alias("seq_tokens"),
+             F.count(F.lit(1)).alias("n_docs"))
+        # a single document longer than the budget legitimately owns an
+        # over-budget singleton sequence; any multi-doc sequence over
+        # budget is a packing bug
+        .filter((F.col("seq_tokens") > 256) & (F.col("n_docs") > 1))
+        .count()
+    )
+    assert over == 0
+
+
+def test_pipeline_is_deterministic(spark, sf_dir, pipeline_result):
+    packed, lineage = pipeline_result
+    packed2, lineage2 = train_pipeline.run_pipeline(
+        spark, sf_dir, budget=256, eval_pct=1.0)
+    assert lineage2 == lineage
+    assert packed2.exceptAll(packed).count() == 0
+    assert packed.exceptAll(packed2).count() == 0
+
+
+def test_no_eval_contamination_survives(spark, sf_dir, pipeline_result):
+    """Re-running the decontamination check over the surviving doc set must
+    find nothing — the pipeline's own filter has to be a fixpoint."""
+    from pdf2doi_spark.operators.dedup import contamination_overlap
+    from pdf2doi_spark.operators.quality import hash_sample
+
+    packed, _ = pipeline_result
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    survivors = docs.join(packed.select("doc_id").distinct(), "doc_id")
+    evalset = hash_sample(docs.select("doc_id", "text"), pct=1.0)
+    assert contamination_overlap(survivors, evalset).count() == 0
