@@ -26,8 +26,11 @@ pre-training run does, documents → packed training sequences:
 Every stage is one of the repo's tested operators; this file only
 composes them. Scale shape: stages 1-2 are map-only; 3 is one shuffle;
 4 shuffles only band keys and the post-LSH candidate set; 5-6 broadcast
-their small sides; 7 is one shuffle. Nothing collects to the driver
-except the final lineage counts (one bounded aggregate per stage).
+their small sides; 7 is one shuffle. Stage boundaries with multiple
+consumers (deduped, pruned, clean) are persisted MEMORY_AND_DISK so the
+expensive upstream passes run once, not once per consumer/lineage count.
+Nothing collects to the driver except the observed source list and the
+final lineage counts (bounded aggregates).
 
 Usage (spark-submit --py-files pdf2doi_spark.zip, or plain python):
 
@@ -107,6 +110,14 @@ def run_pipeline(
     )
 
     # -- 4. near-dup pruning: LSH candidates -> exact verify -> CC roots --
+    # deduped feeds three consumers (the signature pass, the shingle verify,
+    # and the surviving-doc join) plus the lineage counts below; persist the
+    # stage boundary so the scan+projection+dedup window runs once, not once
+    # per consumer. MEMORY_AND_DISK: at 100 TB the working set spills, it
+    # must not recompute.
+    from pyspark import StorageLevel
+
+    deduped = deduped.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = minhash_candidate_pairs(deduped, text_col="text")
     verified = jaccard_pairs(deduped, pairs, text_col="text",
                              threshold=jaccard_threshold)
@@ -115,7 +126,9 @@ def run_pipeline(
     non_roots = components.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
-    pruned = deduped.join(non_roots, "doc_id", "left_anti")
+    pruned = deduped.join(non_roots, "doc_id", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     # -- 5. decontamination vs the (broadcast) eval set --
     if evalset is None:
@@ -123,7 +136,9 @@ def run_pipeline(
     flagged = contamination_overlap(pruned, evalset, text_col="text").select(
         F.col("train_doc_id").alias("doc_id")
     ).distinct()
-    clean = pruned.join(flagged, "doc_id", "left_anti")
+    clean = pruned.join(flagged, "doc_id", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     # -- 6. mixture sampling to target source shares --
     if targets is None:
