@@ -70,7 +70,12 @@ def run_pipeline(
 ):
     """Returns (packed DataFrame, lineage dict). Lazy until the lineage
     counts at the end; callers that only want the plan can skip those by
-    consuming the DataFrame themselves."""
+    consuming the DataFrame themselves.
+
+    The returned DataFrame reads through persisted stage boundaries; the
+    caller owns their release (``spark.catalog.clearCache()`` or
+    ``unpersist()`` on a fresh run) once the packed output is consumed —
+    unpersisting before then would silently recompute the whole chain."""
     from pdf2doi_spark.operators.dedup import (
         connected_components_star,
         contamination_overlap,
