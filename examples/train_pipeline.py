@@ -67,15 +67,20 @@ def run_pipeline(
     targets: dict | None = None,
     eval_pct: float = 1.0,
     evalset: DataFrame | None = None,
+    max_bucket: int = 1000,
 ):
-    """Returns (packed DataFrame, lineage dict). Lazy until the lineage
-    counts at the end; callers that only want the plan can skip those by
-    consuming the DataFrame themselves.
+    """Returns ``(packed DataFrame, lineage dict, release callable)``.
 
-    The returned DataFrame reads through persisted stage boundaries; the
-    caller owns their release (``spark.catalog.clearCache()`` or
-    ``unpersist()`` on a fresh run) once the packed output is consumed —
-    unpersisting before then would silently recompute the whole chain."""
+    ``max_bucket`` is minhash_candidate_pairs' skew guard: LSH buckets
+    with more members are excluded from the banded self-join (a bucket of
+    B docs emits B² candidate rows; exact dedup upstream already removed
+    identical blobs, so an over-cap bucket is degenerate boilerplate).
+    Audit what a cap would drop with ``minhash_bucket_profile`` before
+    tightening it.
+
+    The returned DataFrame reads through persisted stage boundaries;
+    calling ``release()`` unpersists them — do that only after the packed
+    output is consumed, or the whole chain silently recomputes."""
     from pdf2doi_spark.operators.dedup import (
         connected_components_star,
         contamination_overlap,
@@ -123,7 +128,8 @@ def run_pipeline(
     from pyspark import StorageLevel
 
     deduped = deduped.persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = minhash_candidate_pairs(deduped, text_col="text")
+    pairs = minhash_candidate_pairs(deduped, text_col="text",
+                                    max_bucket=max_bucket)
     verified = jaccard_pairs(deduped, pairs, text_col="text",
                              threshold=jaccard_threshold)
     edges = verified.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
@@ -150,15 +156,20 @@ def run_pipeline(
         sources = [r["source"] for r in clean.select("source").distinct().collect()]
         targets = {s: 1.0 / len(sources) for s in sources} if sources else {}
     mixed = mixture_sample(clean, targets, source_col="source",
-                           token_col="n_tokens", key_col="doc_id")
+                           token_col="n_tokens", key_col="doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     # -- 7. pack into training sequences --
     packed = pack_sequences(
         mixed.select("doc_id", "lang", "n_tokens"),
         budget=budget, token_col="n_tokens", group_col="lang",
         order_col="doc_id",
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
+    # Every WIDE pass runs exactly once (persisted at each multi-consumer
+    # boundary: deduped, pruned, clean, mixed, packed); input_docs/
+    # quality_gated re-run only the narrow scan+projection.
     lineage = {
         "input_docs": docs.count(),
         "quality_gated": gated.count(),
@@ -169,7 +180,14 @@ def run_pipeline(
         "packed_docs": packed.count(),
         "targets": targets,
     }
-    return packed, lineage
+
+    persisted = (deduped, pruned, clean, mixed, packed)
+
+    def release() -> None:
+        for frame in persisted:
+            frame.unpersist()
+
+    return packed, lineage, release
 
 
 def main() -> None:
@@ -187,13 +205,14 @@ def main() -> None:
     from pdf2doi_spark.session import build_session
 
     spark = build_session(app_name="train-pipeline")
-    packed, lineage = run_pipeline(
+    packed, lineage, release = run_pipeline(
         spark, args.sf_dir, budget=args.budget, quality_min=args.quality_min,
         jaccard_threshold=args.jaccard, targets=args.targets,
         eval_pct=args.eval_pct,
     )
     os.makedirs(args.output, exist_ok=True)
     packed.write.mode("overwrite").parquet(os.path.join(args.output, "packed"))
+    release()
     with open(os.path.join(args.output, "lineage.json"), "w") as f:
         json.dump(lineage, f, indent=2, sort_keys=True)
     print(json.dumps(lineage, sort_keys=True))

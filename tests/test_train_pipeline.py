@@ -21,9 +21,10 @@ _SPEC.loader.exec_module(train_pipeline)
 
 @pytest.fixture(scope="module")
 def pipeline_result(spark, sf_dir):
-    packed, lineage = train_pipeline.run_pipeline(
+    packed, lineage, release = train_pipeline.run_pipeline(
         spark, sf_dir, budget=256, eval_pct=1.0)
-    return packed.cache(), lineage
+    yield packed, lineage
+    release()
 
 
 def test_lineage_counts_are_monotone_and_nonvacuous(pipeline_result):
@@ -59,11 +60,14 @@ def test_packed_sequences_respect_budget(pipeline_result):
 
 def test_pipeline_is_deterministic(spark, sf_dir, pipeline_result):
     packed, lineage = pipeline_result
-    packed2, lineage2 = train_pipeline.run_pipeline(
+    packed2, lineage2, release2 = train_pipeline.run_pipeline(
         spark, sf_dir, budget=256, eval_pct=1.0)
-    assert lineage2 == lineage
-    assert packed2.exceptAll(packed).count() == 0
-    assert packed.exceptAll(packed2).count() == 0
+    try:
+        assert lineage2 == lineage
+        assert packed2.exceptAll(packed).count() == 0
+        assert packed.exceptAll(packed2).count() == 0
+    finally:
+        release2()
 
 
 def test_no_eval_contamination_survives(spark, sf_dir, pipeline_result):
