@@ -408,6 +408,21 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     )
 
 
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Cut an iterative algorithm's growing plan at a round boundary.
+
+    Reliable ``checkpoint()`` when the session has a checkpoint directory
+    configured (production clusters: blocks land on durable storage and
+    survive executor loss — with ``localCheckpoint`` the truncated lineage
+    lives only in executor block managers, so ONE lost executor kills a
+    multi-hour connected-components job mid-iteration with no recompute
+    path); ``localCheckpoint`` otherwise (local runs and tests, where
+    re-running is cheap and no durable dir is configured)."""
+    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFrame:
     """Near-duplicate clustering finisher: ``(a, b)`` pair list →
     ``(node, component)`` where component is the minimum node id reachable.
@@ -422,8 +437,10 @@ def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFram
     dense clusters (tiny diameter), so a handful of rounds suffices; the
     production-hardened variant for adversarial diameters is
     large-star/small-star (alternating, same DataFrame shapes). Each round
-    is one broadcast-free join + min-agg; ``localCheckpoint`` truncates the
-    lineage so the plan does not grow with iterations.
+    is one broadcast-free join + min-agg; ``_truncate_lineage`` cuts the
+    plan each round so it does not grow with iterations (reliable
+    ``checkpoint()`` when the session has a checkpoint dir, else
+    ``localCheckpoint``).
 
     Raises ``RuntimeError`` if the fixpoint is not reached within
     ``max_iterations`` — silently returning split components would make a
@@ -436,12 +453,12 @@ def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFram
         .union(edges.select(F.col("b").cast("long").alias("src"),
                             F.col("a").cast("long").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_truncate_lineage)
     )
     labels = (
         sym.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .transform(_truncate_lineage)
     )
     for _ in range(max_iterations):
         neigh = (
@@ -457,7 +474,7 @@ def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFram
                     F.col("label"), F.coalesce("neigh_min", "label")
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_truncate_lineage)
         )
         changed = (
             new_labels.alias("n")
@@ -515,13 +532,13 @@ def connected_components_star(edges: DataFrame,
                      F.col("b").cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_truncate_lineage)
     )
     all_nodes = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_truncate_lineage)
     )
 
     def large_star(edges_uv: DataFrame) -> DataFrame:
@@ -557,7 +574,7 @@ def connected_components_star(edges: DataFrame,
 
     prev = _edge_checksum(e)
     for _ in range(max_iterations):
-        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        e = small_star(large_star(e)).transform(_truncate_lineage)
         cur = _edge_checksum(e)
         if cur == prev:
             break

@@ -1446,3 +1446,42 @@ def test_embedding_near_dups_multiband_oracle(spark, sf_dir):
     ) & {(v, v + 10_000_000) for v in range(0, 10 ** 7, 10)}
     assert n_twins > 0
     assert len(twin_pairs) / n_twins >= 0.9, (len(twin_pairs), n_twins)
+
+
+def test_components_use_reliable_checkpoint_when_dir_configured(spark, tmp_path):
+    """Round-3: _truncate_lineage must route through durable checkpoint()
+    when the session has a checkpoint dir (localCheckpoint blocks die with
+    their executor — fatal for a multi-hour CC job on a real cluster) and
+    produce identical components either way."""
+    from pdf2doi_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (5, 3)], "a long, b long"
+    )
+    before = {
+        r["node"]: r["component"]
+        for r in connected_components_star(edges).collect()
+    }
+
+    ckpt = str(tmp_path / "ckpt")
+    sc = spark.sparkContext
+    sc.setCheckpointDir(ckpt)
+    try:
+        after = {
+            r["node"]: r["component"]
+            for r in connected_components_star(edges).collect()
+        }
+        # durable files actually landed under the configured dir
+        import glob
+
+        assert glob.glob(os.path.join(ckpt, "**", "rdd-*"), recursive=True)
+    finally:
+        # other tests expect the local-checkpoint fast path; the public API
+        # has no unset, so clear the underlying Scala field directly
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
+        assert sc.getCheckpointDir() is None
+    assert after == before
