@@ -200,11 +200,19 @@ def main() -> None:
     ap.add_argument("--jaccard", type=float, default=0.8)
     ap.add_argument("--targets", type=json.loads, default=None)
     ap.add_argument("--eval-pct", type=float, default=1.0)
+    ap.add_argument("--checkpoint-dir", default=None, help=(
+        "durable checkpoint dir (hdfs/s3a/...) — with it set, the "
+        "connected-components rounds truncate lineage via reliable "
+        "checkpoint(), surviving executor loss; without it they use "
+        "executor-local blocks (fine locally, fatal to a long cluster job)"
+    ))
     args = ap.parse_args()
 
     from pdf2doi_spark.session import build_session
 
     spark = build_session(app_name="train-pipeline")
+    if args.checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
     packed, lineage, release = run_pipeline(
         spark, args.sf_dir, budget=args.budget, quality_min=args.quality_min,
         jaccard_threshold=args.jaccard, targets=args.targets,
