@@ -108,6 +108,11 @@ def build_session(master: str | None = None, app_name: str = "pdf2doi_spark",
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Iterative operators (connected components) write one durable
+        # checkpoint per round when a checkpoint dir is configured; without
+        # GC-driven cleanup a long pipeline leaks every round's files until
+        # the job ends. Safe when off (no checkpoint dir -> no-op).
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, str(v))
