@@ -1485,3 +1485,33 @@ def test_components_use_reliable_checkpoint_when_dir_configured(spark, tmp_path)
         )
         assert sc.getCheckpointDir() is None
     assert after == before
+
+
+def test_ship_package_zip_contains_every_subpackage(spark):
+    """The spark-submit --py-files analogue (session.ship_package) must zip
+    the WHOLE package: a silently-missing subpackage imports fine in local
+    mode (executors share the driver's sys.path) and only explodes on a
+    real cluster at first task. Inspect the actually-registered zip."""
+    import zipfile
+
+    it = spark.sparkContext._jsc.sc().listFiles().iterator()
+    zips = []
+    while it.hasNext():
+        f = it.next()
+        if "pdf2doi_spark_pyfiles_" in f:
+            zips.append(f.replace("file:", ""))
+    assert zips, "ship_package registered no pyfiles zip on this session"
+    names = set(zipfile.ZipFile(zips[-1]).namelist())
+    pkg_root = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    expected = set()
+    for root, _dirs, files in os.walk(os.path.join(pkg_root, "pdf2doi_spark")):
+        if "__pycache__" in root:
+            continue
+        for fn in files:
+            if fn.endswith(".py"):
+                full = os.path.join(root, fn)
+                expected.add(os.path.relpath(full, pkg_root))
+    missing = expected - names
+    assert not missing, f"zip is missing package modules: {sorted(missing)}"
