@@ -86,12 +86,13 @@ def main() -> None:
             else:
                 sys.exit(f"error: {ident!r} is not a valid DOI or arXiv ID")
             # Key the association with the SAME url the extraction will
-            # produce: raw-file ingestion urls are binaryFile 'file:' URIs,
-            # so a raw local path would never match the broadcast join and
-            # the manual tag would be silently ignored.
-            tag_url = args.target
-            if os.path.exists(args.target):
-                tag_url = "file:" + os.path.abspath(args.target)
+            # produce: binaryFile emits fully-qualified URIs (file: local,
+            # hdfs:/s3a: on a cluster), so a raw path would never match
+            # the broadcast join and the manual tag would be silently
+            # ignored. fs_qualify applies the identical resolution.
+            from pdf2doi_spark.sources.io import fs_qualify
+
+            tag_url = fs_qualify(spark, args.target) or args.target
             row = spark.createDataFrame(
                 [(tag_url, ident, id_type, "manual", None)],
                 "url string, identifier string, identifier_type string, "

@@ -49,7 +49,22 @@ def cap_buckets(bands: DataFrame, keys: List[str], max_bucket: int) -> DataFrame
     and the (expensive) signature computation runs once instead of three
     or four times (guard aggregate + each join side) — pinned by
     tests/test_plans.py::test_minhash_guard_reuses_exchange and
-    ::test_simhash_guard_reuses_exchange."""
+    ::test_simhash_guard_reuses_exchange.
+
+    Extreme-skew tradeoff (deliberate): unlike a groupBy count (map-side
+    partial aggregation), WindowExec buffers each key group inside one
+    task before the filter drops it, so the degenerate bucket this guard
+    exists to remove is also the one that concentrates into a single
+    spilling task. The rows are narrow (~50 B: doc_id + band key), so even
+    a 10⁸-row boilerplate bucket is ~5 GB of disk spill in one task —
+    slow, not fatal — and the exchange-reuse win applies to EVERY run
+    while pathological buckets are rare and visible in advance via
+    ``bucket_histogram``. Two mitigations are part of the operating
+    contract: (1) run exact dedup first — identical boilerplate collapses
+    to one survivor per fingerprint, so the hot bucket never reaches the
+    window at its raw multiplicity; (2) run the bucket audit and, if it
+    shows a pathological key, pre-filter those rows before banding rather
+    than relying on this guard to absorb them."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(*keys)

@@ -40,6 +40,20 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _SHIPPED = set()
 
 
+def _log_lsh_params(query: str, n_bands: int, planes_per_band: int) -> None:
+    # Queries that derive embedding-LSH params from the LIVE row count use
+    # an oracle whose params came from the oracle-dir count; if a scale
+    # mismatch ever crosses a 2^16 boundary the two silently diverge and
+    # the only symptom is a red row. Log the derived params so that row is
+    # diagnosable from the run output (ADVICE r3).
+    import logging
+
+    logging.getLogger("pdf2doi_spark").info(
+        "%s: derived embedding LSH params n_bands=%d planes_per_band=%d",
+        query, n_bands, planes_per_band,
+    )
+
+
 def _ensure_shipped(spark: SparkSession) -> None:
     from pdf2doi_spark.session import ship_package
 
@@ -1099,6 +1113,7 @@ def _q_dedup_bucket_profile():
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         )
         nb, ppb = embedding_lsh_params(base.count())
+        _log_lsh_params("dedup_bucket_profile", nb, ppb)
         em = lsh_bucket_profile(base, nb, ppb, 64, "v")
         out = (
             mh.select(F.lit("minhash").alias("family"), "bucket_size", "n_buckets")
@@ -2434,6 +2449,7 @@ def _q_embedding_near_dups():
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         )
         n_bands, ppb = embedding_lsh_params(base.count())
+        _log_lsh_params("embedding_near_dups", n_bands, ppb)
         return _emb_near_dups_spark(base, n_bands, ppb)
 
     emb_params = _emb_oracle_lsh_params()
@@ -3088,10 +3104,13 @@ _DRIVER_QUERIES = (
     "pack_sequences",
     "mixture_sample",
 )
-assert len(_DRIVER_QUERIES) <= 50, (
-    "driver registry exceeds the correctness gate's 50-row cap: "
-    f"{len(_DRIVER_QUERIES)} entries"
-)
+# Explicit raise, not assert: asserts vanish under `python -O`, and this
+# invariant must hold at import time in production, not only under pytest.
+if len(_DRIVER_QUERIES) > 50:
+    raise ValueError(
+        "driver registry exceeds the correctness gate's 50-row cap: "
+        f"{len(_DRIVER_QUERIES)} entries"
+    )
 
 
 def build_queries() -> Dict[str, QueryFn]:

@@ -47,6 +47,22 @@ def fs_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hp))
 
 
+def fs_is_dir(spark: SparkSession, path: str) -> bool:
+    fs, hp = _fs(spark, path)
+    return bool(fs.exists(hp)) and bool(fs.getFileStatus(hp).isDirectory())
+
+
+def fs_qualify(spark: SparkSession, path: str) -> Optional[str]:
+    """Fully-qualified URI for ``path`` if it exists, else None — the same
+    resolution Spark's file sources apply (schemeless paths go to
+    ``fs.defaultFS``, NOT necessarily the driver's local disk), so a url
+    derived from this matches the ``path`` column binaryFile emits."""
+    fs, hp = _fs(spark, path)
+    if not fs.exists(hp):
+        return None
+    return fs.makeQualified(hp).toString()
+
+
 def _fs_child_names(spark: SparkSession, path: str) -> list:
     fs, hp = _fs(spark, path)
     return [s.getPath().getName() for s in fs.listStatus(hp)]
@@ -284,6 +300,7 @@ def run_resumable(
     n_shards: int = 16,
     replace_arxiv: bool = True,
     cache: Optional[DataFrame] = None,
+    strict_sealed: Optional[bool] = None,
 ) -> DataFrame:
     """Extraction with per-shard checkpointed lineage.
 
@@ -306,6 +323,11 @@ def run_resumable(
     O(1) restart exists to avoid). Point a grown/changed input at a fresh
     ``out_dir``; the sealed short-circuit logs a warning to make a stale
     reuse visible.
+
+    ``strict_sealed``: unattended/scheduled jobs can't read warnings — pass
+    ``True`` (or set ``PDF2DOI_SPARK_STRICT_SEALED=1`` in the env) to make
+    the sealed short-circuit RAISE instead, so a crawl pointed at an old
+    ``--output`` fails loudly rather than silently reprocessing nothing.
     """
     from pdf2doi_spark.operators.extract import RESULT_SCHEMA, extract_identifiers
 
@@ -338,14 +360,20 @@ def run_resumable(
         # every shard already recorded done: a restart must cost O(1), not
         # a full input re-scan for an empty extraction pass. See the
         # write-once contract above — this returns the SEALED results.
+        if strict_sealed is None:
+            strict_sealed = os.environ.get(
+                "PDF2DOI_SPARK_STRICT_SEALED", ""
+            ).strip().lower() in ("1", "true", "yes")
+        msg = (
+            f"run_resumable: {out_dir} is sealed (all {n_shards} shards "
+            "done); stored results would be returned without consulting "
+            "the input. Use a fresh out_dir if the input has changed."
+        )
+        if strict_sealed:
+            raise RuntimeError(msg + " (strict_sealed is set)")
         import warnings
 
-        warnings.warn(
-            f"run_resumable: {out_dir} is sealed (all {n_shards} shards "
-            "done); returning stored results without consulting the input. "
-            "Use a fresh out_dir if the input has changed.",
-            stacklevel=2,
-        )
+        warnings.warn(msg, stacklevel=2)
         return _read_results()
     sharded = pages.withColumn("shard", shard_column(n_shards))
     if done:
@@ -468,8 +496,11 @@ def resolve_pages_source(spark: SparkSession, target: str,
         from pdf2doi_spark.sources.warc import read_warc
 
         return read_warc(spark, target)
-    if os.path.isdir(target):
-        entries = os.listdir(target)
+    # Directory probe goes through the Hadoop FS API (not os.path): a
+    # directory of WARCs or raw HTML on hdfs:///s3a:// would otherwise be
+    # invisible to os.path.isdir and fall through to the parquet branch.
+    if fs_is_dir(spark, target):
+        entries = _fs_child_names(spark, target)
         if any(e.endswith(".parquet") or e == "_SUCCESS" for e in entries):
             return read_pages(spark, target)
         if any(".warc" in e for e in entries):

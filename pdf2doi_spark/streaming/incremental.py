@@ -105,17 +105,19 @@ def run_stream_with_cache_merge(spark: SparkSession, landing_dir: str,
     appending duplicates; the cache merge then consumes the batch's
     WRITTEN partition (not the live plan), so a recomputation can never
     race the cache overwrite."""
-    import os
-
     from pyspark.sql import functions as F
 
-    from pdf2doi_spark.sources.io import merge_cache
+    from pdf2doi_spark.sources.io import fs_exists, merge_cache
 
     stream = read_pages_stream(spark, landing_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # Hadoop FS probe, not os.path.exists: on hdfs:///s3a:// cache
+        # paths the latter is silently False, which would drop the
+        # method-#1 cache fast path from EVERY micro-batch (io.py:30-36).
         cache_df = (
-            spark.read.parquet(cache_path) if os.path.exists(cache_path) else None
+            spark.read.parquet(cache_path)
+            if fs_exists(spark, cache_path) else None
         )
         res = extract_identifiers(
             batch_df.select("url", "html", "text"), cache=cache_df

@@ -1515,3 +1515,31 @@ def test_ship_package_zip_contains_every_subpackage(spark):
                 expected.add(os.path.relpath(full, pkg_root))
     missing = expected - names
     assert not missing, f"zip is missing package modules: {sorted(missing)}"
+
+
+def test_run_resumable_strict_sealed_raises(spark, sf_dir, tmp_path, monkeypatch):
+    """ADVICE r3: the sealed short-circuit's warning is invisible to an
+    unattended job — strict mode (kwarg or env var) must raise instead,
+    while the default stays a warning that returns the stored rows."""
+    import warnings
+
+    import pytest
+
+    from pdf2doi_spark.pages import pages_from_documents
+    from pdf2doi_spark.sources.io import run_resumable
+
+    out = str(tmp_path / "sealed")
+    pages = pages_from_documents(spark, sf_dir).limit(20).cache()
+    assert run_resumable(spark, pages, out, n_shards=2).count() == 20
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert run_resumable(spark, pages, out, n_shards=2).count() == 20
+    assert any("sealed" in str(x.message) for x in w)
+
+    with pytest.raises(RuntimeError, match="sealed"):
+        run_resumable(spark, pages, out, n_shards=2, strict_sealed=True)
+    monkeypatch.setenv("PDF2DOI_SPARK_STRICT_SEALED", "1")
+    with pytest.raises(RuntimeError, match="sealed"):
+        run_resumable(spark, pages, out, n_shards=2)
+    pages.unpersist()

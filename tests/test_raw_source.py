@@ -57,3 +57,75 @@ def test_library_entry_routes_all_targets(spark, tmp_path):
         row = out.collect()[0]
         assert row["identifier"] == "10.1063/1.2409490"
         assert row["method"] == "document_infos"
+
+def test_resolve_routes_file_scheme_uris(spark, tmp_path):
+    """VERDICT r3 'What's wrong #2': resolve_pages_source must probe
+    directories through the Hadoop FS API. A ``file://`` URI is the
+    cheapest proof — ``os.path.isdir('file:///x')`` is ALWAYS False, so
+    this test only passes if the router uses the FS layer (the same layer
+    that serves hdfs:///s3a:// in production)."""
+    import pdf2doi_spark
+    from pdf2doi_spark.sources.io import read_raw_files, resolve_pages_source
+
+    html = (b'<html><head><meta name="citation_doi" content="10.1063/1.2409490">'
+            b"</head><body><p>Body text long enough to survive the gate.</p></body></html>")
+    raw_dir = tmp_path / "rawuri"; raw_dir.mkdir()
+    (raw_dir / "one.html").write_bytes(html)
+    pq_dir = tmp_path / "pagesuri"
+    read_raw_files(spark, str(raw_dir)).write.parquet(str(pq_dir))
+
+    for d, kind in ((raw_dir, "raw"), (pq_dir, "parquet")):
+        uri = "file://" + str(d)
+        assert not os.path.isdir(uri)  # the old probe would mis-route this
+        pages = resolve_pages_source(spark, uri)
+        assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+        assert pages.count() == 1, kind
+
+    out = pdf2doi_spark.pdf2doi("file://" + str(raw_dir), spark=spark)
+    assert out.collect()[0]["identifier"] == "10.1063/1.2409490"
+
+
+def test_no_driver_local_fs_probes_in_production_modules():
+    """Static gate for VERDICT r3 'What's wrong #1/#2': the modules whose
+    side-state lives on hdfs/s3a in production must not probe the driver's
+    local filesystem. os.path.join (pure string manipulation) stays legal;
+    existence/type/listing probes must go through the io.py FS layer."""
+    import io as _io
+    import tokenize
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parents[1] / "pdf2doi_spark"
+    banned = ("os.path.exists", "os.path.isdir", "os.path.isfile",
+              "os.listdir", "os.walk", "os.scandir")
+    offenders = []
+    for mod in ("sources/io.py", "streaming/incremental.py", "__init__.py",
+                "operators/extract.py", "cli.py", "job.py"):
+        p = pkg / mod
+        if not p.exists():
+            p = pkg.parent / mod  # cli.py / job.py live at repo root
+            if not p.exists():
+                continue
+        src = p.read_text()
+        code = "".join(
+            tok.string for tok in tokenize.generate_tokens(
+                _io.StringIO(src).readline)
+            if tok.type not in (tokenize.COMMENT, tokenize.STRING)
+        )
+        for b in banned:
+            if b in code:
+                offenders.append(f"{mod}: {b}")
+    assert not offenders, offenders
+
+
+def test_fs_qualify_matches_binaryfile_url(spark, tmp_path):
+    """cli.py -id keys the manual tag by fs_qualify(target); the broadcast
+    cache join only works if that string equals the ``url`` binaryFile
+    emits for the same file. Pin the contract (and that fs_qualify is None
+    for a missing path, leaving the raw target untouched)."""
+    from pdf2doi_spark.sources.io import fs_qualify, read_raw_files
+
+    f = tmp_path / "tagme.html"
+    f.write_bytes(b"<p>no identifier here</p>")
+    emitted = read_raw_files(spark, str(tmp_path)).select("url").collect()[0][0]
+    assert fs_qualify(spark, str(f)) == emitted
+    assert fs_qualify(spark, str(tmp_path / "nope.html")) is None
