@@ -165,18 +165,48 @@ def _keyed_min_md5(col: Column, seed: str) -> Column:
     return F.array_min(F.transform(col, lambda s: F.md5(F.concat(F.lit(seed), s))))
 
 
-def minhash_signature(col: Column, num_hashes: int = 12) -> List[Column]:
-    """k min-hash values for a shingle-array column: for seed i, the
-    lexicographic min over shingles of md5(i || ':' || shingle)."""
-    return [
-        _keyed_min_md5(col, f"{i}:").alias(f"mh{i}") for i in range(num_hashes)
-    ]
+def _keyed_min_xxhash64(col: Column, seed: int) -> Column:
+    # xxhash64 takes the seed as a leading column, so no string concat is
+    # materialized per (seed, shingle) pair — cheaper than the md5 lane on
+    # top of the cheaper hash itself.
+    return F.array_min(F.transform(col, lambda s: F.xxhash64(F.lit(seed), s)))
+
+
+def minhash_signature(col: Column, num_hashes: int = 12,
+                      hash_fn: str = "md5") -> List[Column]:
+    """k min-hash values for a shingle-array column.
+
+    ``hash_fn='md5'`` (default): for seed i, the lexicographic min over
+    shingles of md5(i || ':' || shingle) — the cross-engine contract the
+    DuckDB oracles replay byte-for-byte.
+
+    ``hash_fn='xxhash64'``: the production escape hatch (VERDICT r3) — for
+    seed i, the numeric min over shingles of xxhash64(i, shingle).
+    Identical b*r recall curve (both are uniform hashes of the same
+    shingle set), ~20% cheaper per signature (BENCH §0: 4.50 vs 5.74 s at
+    sf0.1), but only md5 is replayable in DuckDB, so oracle-gated paths
+    stay on md5. At 10^12 docs the signature pass is ~10^9 core-seconds;
+    a fifth of that is the reason this knob exists.
+    """
+    if hash_fn == "md5":
+        return [
+            _keyed_min_md5(col, f"{i}:").alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    if hash_fn == "xxhash64":
+        return [
+            _keyed_min_xxhash64(col, i).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    raise ValueError(f"unknown hash_fn {hash_fn!r}: use 'md5' or 'xxhash64'")
 
 
 def minhash_bands(df: DataFrame, text_col: str = "text", num_hashes: int = 12,
-                  bands: int = 4) -> DataFrame:
+                  bands: int = 4, hash_fn: str = "md5") -> DataFrame:
     """doc_id × band rows: (doc_id, band_idx, band_hash). rows = docs × b —
-    bounded fan-out, each band hash is 32 bytes."""
+    bounded fan-out; band_hash is a 32-byte md5 string (``hash_fn='md5'``)
+    or an 8-byte bigint (``hash_fn='xxhash64'`` — 4× narrower shuffle rows
+    on top of the cheaper signature)."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands "
@@ -187,12 +217,18 @@ def minhash_bands(df: DataFrame, text_col: str = "text", num_hashes: int = 12,
     sh = df.filter(has_min_words(F.col(text_col))).select(
         F.col("doc_id"), word_shingles(F.col(text_col)).alias("sh")
     )
-    sig = sh.select("doc_id", *minhash_signature(F.col("sh"), num_hashes))
+    sig = sh.select(
+        "doc_id", *minhash_signature(F.col("sh"), num_hashes, hash_fn)
+    )
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_hash = (
+            F.md5(F.concat_ws("|", *parts)) if hash_fn == "md5"
+            else F.xxhash64(*parts)
+        )
         band_cols.append(
-            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *parts)).alias("band_hash"))
+            F.struct(F.lit(b).alias("band_idx"), band_hash.alias("band_hash"))
         )
     return (
         sig.select(F.col("doc_id"), F.explode(F.array(*band_cols)).alias("band"))
@@ -202,18 +238,20 @@ def minhash_bands(df: DataFrame, text_col: str = "text", num_hashes: int = 12,
 
 
 def minhash_bucket_profile(df: DataFrame, text_col: str = "text",
-                           num_hashes: int = 12, bands: int = 4) -> DataFrame:
+                           num_hashes: int = 12, bands: int = 4,
+                           hash_fn: str = "md5") -> DataFrame:
     """Bucket-size distribution of the LSH bands — the skew audit to run
     BEFORE a crawl-scale candidate join: (bucket_size, n_buckets), largest
     first. A handful of giant buckets (empty pages, shared boilerplate)
     is what turns the band self-join quadratic."""
-    b = minhash_bands(df, text_col, num_hashes, bands)
+    b = minhash_bands(df, text_col, num_hashes, bands, hash_fn)
     return bucket_histogram(b, ["band_idx", "band_hash"])
 
 
 def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
                             num_hashes: int = 12, bands: int = 4,
-                            max_bucket: int | None = None) -> DataFrame:
+                            max_bucket: int | None = None,
+                            hash_fn: str = "md5") -> DataFrame:
     """Distinct candidate pairs (a < b) sharing at least one LSH band.
 
     The self-join shuffles on (band_idx, band_hash) only; no all-pairs
@@ -229,7 +267,7 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
     choosing it. The size pre-agg shuffles on the same banded key the join
     does, so it adds no new exchange pattern.
     """
-    b = minhash_bands(df, text_col, num_hashes, bands)
+    b = minhash_bands(df, text_col, num_hashes, bands, hash_fn)
     if max_bucket is not None:
         b = cap_buckets(b, ["band_idx", "band_hash"], max_bucket)
     left = b.alias("l")
@@ -283,10 +321,15 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
 
 def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             num_hashes: int = 12, bands: int = 4,
-                            threshold: float = 0.7) -> DataFrame:
+                            threshold: float = 0.7,
+                            hash_fn: str = "md5") -> DataFrame:
     """Full MinHash→LSH→verify pipeline: near-duplicate pairs with their
-    exact Jaccard, ordered deterministically."""
-    pairs = minhash_candidate_pairs(df, text_col, num_hashes, bands)
+    exact Jaccard, ordered deterministically. ``hash_fn='xxhash64'`` is
+    the cheaper production signature (see minhash_signature) — the final
+    pair set is still exact-Jaccard-verified either way, only LSH recall
+    on borderline pairs can differ between the two hash families."""
+    pairs = minhash_candidate_pairs(df, text_col, num_hashes, bands,
+                                    hash_fn=hash_fn)
     return jaccard_pairs(df, pairs, text_col, threshold).orderBy("doc_a", "doc_b")
 
 
