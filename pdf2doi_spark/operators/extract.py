@@ -393,3 +393,30 @@ def format_report(results: DataFrame) -> DataFrame:
             F.col("url"),
         ).alias("report_line")
     )
+
+
+def select_title(cands: F.Column, min_len: int = 12) -> F.Column:
+    """Title selection over an array of candidates (in discovery order):
+    the reference's F13 length filter (``len(strip()) > 12``,
+    ``finders.py:412,421,430,435``) → F14 order-preserving dedupe
+    (``finders.py:439-443``; ``array_distinct`` keeps first occurrence) →
+    F15 longest-first ranking with value-asc tiebreak (``finders.py:807``).
+
+    Returns ``struct(n_candidates, best_title)`` — ``best_title`` is NULL
+    when every candidate fails the gate (a bare ``element_at`` on the
+    empty array would be an ANSI-mode job abort, not a NULL). Pure column
+    expression: usable in any projection, no UDF, no shuffle.
+    """
+    kept = F.array_distinct(
+        F.filter(cands, lambda x: F.length(F.trim(x)) > min_len)
+    )
+    ranked = F.array_sort(
+        F.transform(
+            kept, lambda x: F.struct((-F.length(x)).alias("neg"), x.alias("t"))
+        )
+    )
+    return F.struct(
+        F.size(kept).alias("n_candidates"),
+        F.when(F.size(kept) > 0, F.element_at(ranked, 1)["t"])
+        .alias("best_title"),
+    )

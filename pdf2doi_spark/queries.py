@@ -2804,6 +2804,10 @@ def _q_events_windowed():
 
 def _q_title_select():
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # F13 -> F14 -> F15 live in operators/extract.select_title (lifted
+        # there in round 4 so the §2 row is importable as a library op)
+        from pdf2doi_spark.operators.extract import select_title
+
         d = _docs(spark, sf_dir)
         cands = F.array(
             F.substring(F.col("text"), 1, 8),
@@ -2812,23 +2816,11 @@ def _q_title_select():
             F.substring(F.col("text"), 1, 25),
             F.lit("tiny"),
         )
-        # F13 length filter -> F14 order-preserving dedupe -> F15 sort by
-        # length desc (value asc tiebreak) -> first.
-        kept = F.array_distinct(
-            F.filter(cands, lambda x: F.length(F.trim(x)) > 12)
-        )
-        ranked = F.array_sort(
-            F.transform(
-                kept, lambda x: F.struct((-F.length(x)).alias("neg"), x.alias("t"))
-            )
-        )
+        sel = select_title(cands)
         return d.select(
             F.col("doc_id"),
-            F.size(kept).alias("n_candidates"),
-            # every candidate can fail the length gate: a bare element_at on
-            # the empty array is an ANSI-mode job abort, not a NULL
-            F.when(F.size(kept) > 0, F.element_at(ranked, 1)["t"])
-            .alias("best_title"),
+            sel["n_candidates"].alias("n_candidates"),
+            sel["best_title"].alias("best_title"),
         )
 
     sql = """

@@ -11,10 +11,11 @@ analogue ingests WARC archives. This module is a dependency-free reader:
 * ``read_warc`` — ``binaryFile`` scan → batched ``mapInPandas`` parse →
   pages-shaped DataFrame ``(url, warc_ts, html, text, lang)``.
 
-Scale note: here one task parses one WARC file (CC files are ~1 GB — a
-fine task size); an offset-indexed variant (tasks = member ranges from the
-``.warc.gz`` index files CC publishes) drops in by replacing the
-``binaryFile`` listing, with the member parser below unchanged.
+Scale note: ``read_warc`` parses one WARC file per task (CC files are
+~1 GB — a fine task size when there are many files); ``read_warc_indexed``
+is the splittable variant — tasks are member RANGES from an offset index
+(CC's published CDX files, or ``build_warc_index``), so a single large
+archive fans out across the cluster with the member parser unchanged.
 
 Parsing is total: malformed records are skipped, never raised — one bad
 archive must not fail a task.
@@ -181,6 +182,167 @@ def read_warc(spark: SparkSession, path: str,
             )
 
     parsed = raw.mapInPandas(
+        run, schema="url string, warc_ts timestamp, html binary"
+    )
+    return parsed.select(
+        "url", "warc_ts", "html",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
+# ------------------------------------------------------- offset-indexed scan
+
+def index_warc_members(data: bytes) -> List[Tuple[int, int]]:
+    """(offset, length) of every gzip member in a per-record-compressed
+    ``.warc.gz`` (CC layout), or of every WARC record in an uncompressed
+    archive — the sandbox stand-in for Common Crawl's published CDX
+    indexes, whose records carry exactly these two fields per response.
+
+    Member accounting reuses _gzip_members' consumed-byte arithmetic
+    (zlib's unused_data); uncompressed archives are framed by the same
+    Content-Length walk the parser uses."""
+    spans: List[Tuple[int, int]] = []
+    if data[:2] == b"\x1f\x8b":
+        pos = 0
+        while pos < len(data):
+            d = zlib.decompressobj(wbits=31)
+            try:
+                d.decompress(data[pos:])
+            except zlib.error:
+                break
+            consumed = len(data) - pos - len(d.unused_data)
+            if consumed <= 0:
+                break
+            spans.append((pos, consumed))
+            pos += consumed
+        return spans
+    offset = 0
+    while True:
+        start = data.find(b"WARC/", offset)
+        if start < 0:
+            break
+        head_end = data.find(_CRLF2, start)
+        if head_end < 0:
+            break
+        try:
+            length = int(_parse_headers(data[start:head_end]).get(
+                "content-length", ""))
+            if length < 0:
+                raise ValueError
+        except ValueError:
+            break
+        end = head_end + len(_CRLF2) + length
+        spans.append((start, end - start))
+        offset = end
+    return spans
+
+
+def build_warc_index(spark: SparkSession, path: str,
+                     glob: str = "*.warc*") -> DataFrame:
+    """Scan WARC archives once and emit the member index ``(path, offset,
+    length)`` — one row per gzip member / record. In production this table
+    comes straight from CC's CDX files (same three fields) and this
+    full-file scan never runs; the builder exists so the indexed reader is
+    usable (and testable) on archives that ship without an index."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            paths, offs, lens = [], [], []
+            for p, payload in zip(b["path"], b["content"]):
+                for off, ln in index_warc_members(
+                    bytes(payload) if payload is not None else b""
+                ):
+                    paths.append(p)
+                    offs.append(off)
+                    lens.append(ln)
+            yield pd.DataFrame({"path": paths, "offset": offs, "length": lens})
+
+    return raw.mapInPandas(run, schema="path string, offset long, length long")
+
+
+def _open_range_local(path: str, start: int, length: int) -> bytes:
+    """Default byte-range opener: plain seek+read for local / ``file:``
+    paths (the executor-side analogue of an S3 Range GET). Production
+    swaps in an object-store opener via ``read_warc_indexed(opener=...)``
+    — e.g. ``lambda p, s, n: s3.get_object(Bucket=..., Key=p,
+    Range=f"bytes={s}-{s+n-1}")["Body"].read()``."""
+    local = path
+    if local.startswith("file://"):
+        local = local[len("file://"):]
+    elif local.startswith("file:"):
+        local = local[len("file:"):]
+    elif "://" in local:
+        raise NotImplementedError(
+            f"no byte-range opener for scheme of {path!r}: pass "
+            "read_warc_indexed(opener=...) wired to your object store's "
+            "range reads"
+        )
+    with open(local, "rb") as f:
+        f.seek(start)
+        return f.read(length)
+
+
+def read_warc_indexed(spark: SparkSession, index: DataFrame,
+                      target_split_bytes: int = 128 * 1024 * 1024,
+                      opener=None) -> DataFrame:
+    """WARC archives → pages DataFrame via an offset index: tasks are
+    MEMBER RANGES, not whole files, so one 1 GB ``.warc.gz`` fans out to
+    ~``size/target_split_bytes`` parallel tasks instead of one
+    (``read_warc``'s granularity).
+
+    ``index``: one row per member, ``(path, offset, length)`` — CC's CDX
+    fields, or ``build_warc_index`` output. Range construction is fully
+    distributed (a groupBy over the index, never a driver collect — the
+    index itself is billions of rows at crawl scale): members bucket by
+    ``offset // target_split_bytes``, and each (path, bucket) becomes one
+    contiguous byte range [min(offset), max(offset+length)). Per-record
+    gzip members make any such range independently decompressible, which
+    is the property that makes CC archives splittable at all. Each task
+    then range-reads its bytes (``opener``; local seek+read by default,
+    an object-store Range GET in production) and runs the SAME member
+    parser as ``read_warc``.
+    """
+    rng = _open_range_local if opener is None else opener
+    ranges = (
+        index.withColumn(
+            "bucket", (F.col("offset") / F.lit(int(target_split_bytes)))
+            .cast("long")
+        )
+        .groupBy("path", "bucket")
+        .agg(
+            F.min("offset").alias("start"),
+            (F.max(F.col("offset") + F.col("length")) - F.min("offset"))
+            .alias("n_bytes"),
+        )
+        # spread ranges round-robin so many splits of ONE archive land on
+        # different tasks (the whole point); sort inside each partition so
+        # a task's reads of the same file are sequential
+        .repartition("path", "bucket")
+        .sortWithinPartitions("path", "start")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            urls, tss, bodies = [], [], []
+            for p, start, n in zip(b["path"], b["start"], b["n_bytes"]):
+                try:
+                    payload = rng(str(p), int(start), int(n))
+                    for uri, ts, body in iter_warc_records(payload):
+                        urls.append(uri)
+                        tss.append(ts)
+                        bodies.append(body)
+                except Exception:
+                    continue  # unreadable range: skip, never fail the task
+            yield pd.DataFrame({"url": urls, "warc_ts": tss, "html": bodies})
+
+    parsed = ranges.mapInPandas(
         run, schema="url string, warc_ts timestamp, html binary"
     )
     return parsed.select(

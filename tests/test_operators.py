@@ -524,17 +524,30 @@ def test_star_components_match_min_label_and_handle_long_paths(spark):
         connected_components(path, max_iterations=25)
 
 
-def test_ann_ivf_precomputed_cells_path(spark, sf_dir, tmp_path):
+@pytest.mark.parametrize("scale_dir", [
+    None,                       # the session's sf_dir (sf0.001 default)
+    "/root/testdata/sf0.01",    # VERDICT r3 #3: the driver's oracle scale
+])
+def test_ann_ivf_precomputed_cells_path(spark, sf_dir, tmp_path, scale_dir):
     """assign_ivf_cells -> write partitioned by cell -> search over the
     stored index: identical results to the ad-hoc form, and the probe
-    filter prunes partitions at the scan."""
+    filter prunes partitions at the scan. Runs at the session scale AND
+    at sf0.01 (the correctness-gate scale) — the stored path is the form
+    a 10^9-vector deployment actually serves, so its row-for-row
+    equivalence deserves the same scale the driver checks the ad-hoc
+    form at."""
     import pytest as _pytest
+
+    if scale_dir is None:
+        scale_dir = sf_dir
+    elif not os.path.isdir(scale_dir):
+        _pytest.skip(f"{scale_dir} absent")
 
     from pdf2doi_spark.operators.similarity import (
         ann_ivf_topk, build_ivf_index, load_ivf_index,
     )
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = spark.read.parquet(f"{scale_dir}/embeddings.parquet")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
 
     idx_path = str(tmp_path / "ivf_index")
@@ -1588,3 +1601,27 @@ def test_minhash_xxhash64_production_lane(spark, docs):
 
     with pytest.raises(ValueError, match="hash_fn"):
         minhash_signature(F.col("text"), hash_fn="sha1")
+
+
+def test_select_title_operator(spark):
+    """F13->F14->F15 as an importable operator (VERDICT r3 #8): length
+    gate, first-occurrence dedupe, longest-first with value-asc tiebreak,
+    NULL (not an ANSI abort) when everything fails the gate."""
+    from pdf2doi_spark.operators.extract import select_title
+
+    df = spark.createDataFrame(
+        [(1, ["short", "a genuinely long candidate", "another long candidate x",
+              "a genuinely long candidate"]),
+         (2, ["tiny", "  pad  "]),
+         (3, ["same length title aaa", "same length title aab"])],
+        "doc_id long, cands array<string>",
+    )
+    out = (
+        df.select("doc_id", select_title(F.col("cands")).alias("s"))
+        .select("doc_id", "s.n_candidates", "s.best_title")
+        .toPandas().set_index("doc_id")
+    )
+    assert out.loc[1]["n_candidates"] == 2  # dedupe removed the repeat
+    assert out.loc[1]["best_title"] == "a genuinely long candidate"
+    assert out.loc[2]["n_candidates"] == 0 and out.loc[2]["best_title"] is None
+    assert out.loc[3]["best_title"] == "same length title aaa"  # asc tiebreak

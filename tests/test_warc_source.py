@@ -104,3 +104,74 @@ def test_negative_content_length_terminates():
     bad = (b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: x\r\n"
            b"Content-Length: -100000\r\n\r\nbody")
     assert list(iter_warc_records(bad)) == []
+
+
+def _many_records(n=12):
+    return [
+        (f"https://example.org/p{i}",
+         f"2024-01-{i+1:02d}T00:00:00Z",
+         (f"<html><body><p>Record {i} body with enough words to matter "
+          f"for any downstream gate.</p></body></html>").encode())
+        for i in range(n)
+    ]
+
+
+def test_index_warc_members_spans_cover_archive():
+    from pdf2doi_spark.sources.warc import index_warc_members
+
+    recs = _many_records(6)
+    for compression in ("member", "none"):
+        data = build_warc_bytes(recs, compression)
+        spans = index_warc_members(data)
+        assert len(spans) == 6
+        # contiguous, non-overlapping, in file order
+        for (o1, l1), (o2, _l2) in zip(spans, spans[1:]):
+            assert o1 + l1 <= o2
+        # every span independently parseable to exactly its record
+        for (off, ln), (uri, _ts, body) in zip(spans, recs):
+            got = list(iter_warc_records(data[off:off + ln]))
+            assert [(u, b) for u, _t, b in got] == [(uri, body)]
+    # whole-file gzip: one unsplittable span (documented limitation)
+    assert len(index_warc_members(build_warc_bytes(recs, "file"))) == 1
+
+
+def test_read_warc_indexed_matches_read_warc_with_multiple_splits(spark, tmp_path):
+    """VERDICT r3 #6: the offset-indexed reader must split ONE archive
+    into >=2 input tasks and produce rows identical to read_warc."""
+    from pdf2doi_spark.sources.warc import (
+        build_warc_index, read_warc_indexed,
+    )
+
+    d = tmp_path / "warcs"
+    d.mkdir()
+    recs = _many_records(12)
+    (d / "big.warc.gz").write_bytes(build_warc_bytes(recs, "member"))
+
+    index = build_warc_index(spark, str(d))
+    idx = index.toPandas().sort_values("offset").reset_index(drop=True)
+    assert len(idx) == 12 and idx["path"].nunique() == 1
+
+    # target_split_bytes ~ a third of the archive -> >=2 member ranges
+    total = int((idx["offset"] + idx["length"]).max())
+    split = max(1, total // 3)
+    ranges = (
+        index.withColumn("bucket", (F.col("offset") / F.lit(split)).cast("long"))
+        .select("path", "bucket").distinct().count()
+    )
+    assert ranges >= 2, f"fixture produced only {ranges} split(s)"
+
+    got = read_warc_indexed(spark, index, target_split_bytes=split).toPandas()
+    want = read_warc(spark, str(d)).toPandas()
+    key = ["url", "warc_ts"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got.equals(want) and len(got) == 12
+
+
+def test_read_warc_indexed_rejects_remote_scheme_without_opener():
+    import pytest as _pytest
+
+    from pdf2doi_spark.sources.warc import _open_range_local
+
+    with _pytest.raises(NotImplementedError, match="opener"):
+        _open_range_local("s3a://bucket/key.warc.gz", 0, 10)
