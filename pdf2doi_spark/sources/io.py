@@ -193,7 +193,9 @@ def merge_cache(spark: SparkSession, cache_path: str, results: DataFrame,
             "shard", shard_column(n_shards)
         )
         flat.write.mode("overwrite").parquet(cache_path + ".mig")
-        spark.read.parquet(cache_path + ".mig").write.mode("overwrite") \
+        spark.read.parquet(cache_path + ".mig") \
+            .repartition(F.col("shard")) \
+            .write.mode("overwrite") \
             .partitionBy("shard").parquet(cache_path)
         _rmtree(cache_path + ".mig", spark)
 
@@ -264,6 +266,12 @@ def merge_cache(spark: SparkSession, cache_path: str, results: DataFrame,
         merged.write.mode("overwrite").parquet(cache_path + ".tmp")
         (
             spark.read.parquet(cache_path + ".tmp")
+            # co-locate each shard in one task before the partitioned
+            # write (Iceberg hash distribution): without this, every
+            # tmp-scan task opens a writer per shard it touches —
+            # tasks × touched-shards files (measured 2,048 for a 64-shard
+            # 8.7M-row merge, BENCH §6) instead of exactly one per shard
+            .repartition(F.col("shard"))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("shard")
@@ -403,6 +411,20 @@ def run_resumable(
     pending = extract_identifiers(
         sharded.select("url", "html", "text"), replace_arxiv=replace_arxiv, cache=cache
     ).withColumn("shard", shard_column(n_shards))
+
+    # Hash-distribute RESULTS on the write partition key before the
+    # partitioned write (what Iceberg's write.distribution-mode=hash does).
+    # Without it every extraction task opens a writer in every shard
+    # directory it touches — tasks × shards files: measured 11,010 files
+    # for a 43-task × 256-shard 10M-page run, with ~90 s of driver-side
+    # commit/listing (BENCH §6), and at the design point (65k shards,
+    # thousands of tasks) hundreds of millions of files, which no metastore
+    # survives. After the repartition each shard lands wholly in one task,
+    # so the layout is exactly n_shards files and commit is O(n_shards).
+    # The shuffle moves RESULT rows (post-kernel, ≤ input bytes) and keys
+    # on pmod(xxhash64(url)) — uniform by construction, no skew. The
+    # kernel itself still runs pre-shuffle at the input's parallelism.
+    pending = pending.repartition(F.col("shard"))
 
     # Dynamic partition overwrite makes the write idempotent PER SHARD: a
     # run that died after writing some shards but before the manifest can

@@ -1625,3 +1625,61 @@ def test_select_title_operator(spark):
     assert out.loc[1]["best_title"] == "a genuinely long candidate"
     assert out.loc[2]["n_candidates"] == 0 and out.loc[2]["best_title"] is None
     assert out.loc[3]["best_title"] == "same length title aaa"  # asc tiebreak
+
+
+def test_partitioned_writes_are_one_file_per_shard(spark, sf_dir, tmp_path):
+    """Scale contract surfaced by the 10M-page soak (BENCH §6): partitioned
+    writes must hash-distribute on the shard key first, or the layout is
+    tasks × shards files (11,010 measured for 43 tasks × 256 shards; at
+    65k production shards that is metastore-killing). Pins exactly ONE
+    parquet file per touched shard for both run_resumable results and the
+    merge_cache table."""
+    import glob
+
+    from pdf2doi_spark.pages import pages_from_documents
+    from pdf2doi_spark.sources.io import merge_cache, run_resumable
+
+    # many input partitions so the pre-fix layout would be multi-file
+    pages = pages_from_documents(spark, sf_dir).limit(200).repartition(16)
+    out = str(tmp_path / "run")
+    res = run_resumable(spark, pages, out, n_shards=8)
+    for d in glob.glob(f"{out}/results/shard=*"):
+        parts = glob.glob(f"{d}/*.parquet")
+        assert len(parts) == 1, (d, parts)
+
+    cache_path = str(tmp_path / "cache.parquet")
+    merge_cache(spark, cache_path, res.repartition(16), n_shards=8)
+    for d in glob.glob(f"{cache_path}/shard=*"):
+        parts = glob.glob(f"{d}/*.parquet")
+        assert len(parts) == 1, (d, parts)
+
+
+def test_merge_cache_migrates_flat_layout(spark, tmp_path):
+    """A round-1-layout flat (unpartitioned) cache is migrated in place to
+    the shard-partitioned layout on the next merge — values preserved, one
+    file per shard (the migration write hash-distributes like every other
+    partitioned write), no .mig leftovers."""
+    import glob
+
+    from pdf2doi_spark.sources.io import merge_cache
+
+    schema = ("url string, identifier string, identifier_type string, "
+              "method string, tier int")
+    cache_path = str(tmp_path / "cache.parquet")
+    flat = spark.createDataFrame(
+        [(f"https://h{i}.org/p", f"10.1/{i}", "DOI", "document_text", 1)
+         for i in range(40)], schema,
+    ).repartition(8)
+    flat.write.parquet(cache_path)  # pre-sharding layout
+
+    new = spark.createDataFrame(
+        [("https://new.org/p", "10.9/z", "DOI", "filename", 0)], schema
+    )
+    merged = merge_cache(spark, cache_path, new, n_shards=4)
+    assert merged.count() == 41
+    assert merged.filter(F.col("url") == "https://new.org/p").count() == 1
+    shard_dirs = glob.glob(f"{cache_path}/shard=*")
+    assert shard_dirs, "cache was not migrated to the sharded layout"
+    for d in shard_dirs:
+        assert len(glob.glob(f"{d}/*.parquet")) == 1, d
+    assert not glob.glob(f"{cache_path}.mig"), "migration temp dir leaked"
