@@ -85,11 +85,35 @@ def _unlink_quiet(path: str) -> None:
 def build_session(master: str | None = None, app_name: str = "pdf2doi_spark",
                   shuffle_partitions: int | None = None,
                   extra_conf: dict | None = None) -> SparkSession:
-    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    master = master or os.environ.get("SPARK_GRAFT_MASTER")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    builder = SparkSession.builder
+    if master:
+        builder = builder.master(master)
+    else:
+        # Respect the cluster manager chosen at submit time: under
+        # spark-submit, ``--master`` lands in the launched JVM's system
+        # properties and an unconditional ``builder.master(...)`` here
+        # would silently override it (measured: a ``spark-submit --master
+        # local[8]`` soak run actually executed with 32 task slots). The
+        # property must be read from the gateway JVM directly — a fresh
+        # Python-side SparkConf(loadDefaults=True) does NOT see it before
+        # a context exists (verified empirically on Spark 4.1). Fall back
+        # to local[*] only when no master is configured anywhere
+        # (programmatic sessions, pytest).
+        preset = None
+        try:
+            from pyspark import SparkContext
+
+            SparkContext._ensure_initialized()
+            preset = SparkContext._jvm.System.getProperty("spark.master")
+        except Exception:
+            preset = None
+        if not preset:
+            builder = builder.master("local[*]")
     builder = (
-        SparkSession.builder.master(master)
+        builder
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Pin the session zone: timestamp<->epoch conversions must not

@@ -1683,3 +1683,34 @@ def test_merge_cache_migrates_flat_layout(spark, tmp_path):
     for d in shard_dirs:
         assert len(glob.glob(f"{d}/*.parquet")) == 1, d
     assert not glob.glob(f"{cache_path}.mig"), "migration temp dir leaked"
+
+
+def test_build_session_respects_spark_submit_master(tmp_path):
+    """build_session must not override the cluster manager chosen at submit
+    time: under spark-submit, --master lands in the JVM properties and an
+    unconditional builder.master() silently replaces it (measured: a
+    `--master local[8]` soak run executed with 32 task slots). Pin that a
+    spark-submit-provided master survives, via a real submit."""
+    import shutil
+    import subprocess
+
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not os.path.exists(spark_submit):
+        pytest.skip("spark-submit not available")
+
+    script = tmp_path / "probe.py"
+    script.write_text(
+        "from pdf2doi_spark.session import build_session\n"
+        "spark = build_session()\n"
+        "print('MASTER=' + spark.sparkContext.master)\n"
+        "spark.stop()\n"
+    )
+    env = {k: v for k, v in os.environ.items() if k != "SPARK_GRAFT_MASTER"}
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [spark_submit, "--master", "local[3]", "--conf",
+         "spark.ui.enabled=false", str(script)],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "MASTER=local[3]" in out.stdout, out.stdout[-2000:]
