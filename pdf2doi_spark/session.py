@@ -82,62 +82,85 @@ def _unlink_quiet(path: str) -> None:
         pass
 
 
+def _submit_time_conf(key: str) -> str | None:
+    """Value of ``key`` set at spark-submit time, if any.
+
+    Under spark-submit, ``--master`` / ``--conf`` land in the launched
+    gateway JVM's system properties, and an unconditional
+    ``builder.master(...)`` / ``builder.config(...)`` silently overrides
+    them (measured: a ``spark-submit --master local[8]`` soak run actually
+    executed with 32 task slots, and its ``--conf
+    spark.sql.shuffle.partitions=64`` ran with 32). The property must be
+    read from the gateway JVM directly — a fresh Python-side
+    ``SparkConf(loadDefaults=True)`` does NOT see it before a context
+    exists (verified empirically on Spark 4.1).
+
+    Only consulted when this process was launched BY spark-submit
+    (``PYSPARK_GATEWAY_PORT`` set). In programmatic sessions the gateway
+    JVM is ours, and leftover system properties from a previous stopped
+    session in the same process must not shadow our defaults.
+    """
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        return None
+    try:
+        from pyspark import SparkContext
+
+        SparkContext._ensure_initialized()
+        return SparkContext._jvm.System.getProperty(key)
+    except Exception:
+        return None
+
+
 def build_session(master: str | None = None, app_name: str = "pdf2doi_spark",
                   shuffle_partitions: int | None = None,
                   extra_conf: dict | None = None) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER")
-    if shuffle_partitions is None:
-        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
     builder = SparkSession.builder
     if master:
         builder = builder.master(master)
-    else:
-        # Respect the cluster manager chosen at submit time: under
-        # spark-submit, ``--master`` lands in the launched JVM's system
-        # properties and an unconditional ``builder.master(...)`` here
-        # would silently override it (measured: a ``spark-submit --master
-        # local[8]`` soak run actually executed with 32 task slots). The
-        # property must be read from the gateway JVM directly — a fresh
-        # Python-side SparkConf(loadDefaults=True) does NOT see it before
-        # a context exists (verified empirically on Spark 4.1). Fall back
-        # to local[*] only when no master is configured anywhere
-        # (programmatic sessions, pytest).
-        preset = None
-        try:
-            from pyspark import SparkContext
+    elif not _submit_time_conf("spark.master"):
+        builder = builder.master("local[*]")
+    builder = builder.appName(app_name)
 
-            SparkContext._ensure_initialized()
-            preset = SparkContext._jvm.System.getProperty("spark.master")
-        except Exception:
-            preset = None
-        if not preset:
-            builder = builder.master("local[*]")
-    builder = (
-        builder
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    # Explicit caller/env choices always win; the static entries below are
+    # DEFAULTS — a value for the same key passed via spark-submit --conf
+    # takes precedence over them.
+    overrides: dict = {}
+    if shuffle_partitions is not None:
+        overrides["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    elif "SPARK_GRAFT_SHUFFLE" in os.environ:
+        overrides["spark.sql.shuffle.partitions"] = os.environ["SPARK_GRAFT_SHUFFLE"]
+    if "SPARK_GRAFT_DRIVER_MEM" in os.environ:
+        overrides["spark.driver.memory"] = os.environ["SPARK_GRAFT_DRIVER_MEM"]
+    defaults = {
+        "spark.sql.shuffle.partitions": "32",
         # Pin the session zone: timestamp<->epoch conversions must not
         # depend on the host JVM's default zone (DST transitions would
         # silently shift gaps/windows relative to tz-free engines).
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": str(ARROW_BATCH_ROWS),
+        "spark.sql.files.maxPartitionBytes": "134217728",
         # zstd ≈ snappy decode speed at ~30-40% smaller parquet — at 100 TB
         # of results + text columns that is tens of TB of storage and scan
         # bandwidth saved for a negligible write-side CPU cost.
-        .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        "spark.sql.parquet.compression.codec": "zstd",
+        "spark.driver.memory": "8g",
+        "spark.ui.enabled": "false",
         # Iterative operators (connected components) write one durable
         # checkpoint per round when a checkpoint dir is configured; without
         # GC-driven cleanup a long pipeline leaks every round's files until
         # the job ends. Safe when off (no checkpoint dir -> no-op).
-        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
-    )
+        "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
+    }
+    for k, v in defaults.items():
+        if k in overrides:
+            builder = builder.config(k, overrides[k])
+        elif _submit_time_conf(k) is None:
+            builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, str(v))
     spark = builder.getOrCreate()

@@ -1703,14 +1703,22 @@ def test_build_session_respects_spark_submit_master(tmp_path):
         "from pdf2doi_spark.session import build_session\n"
         "spark = build_session()\n"
         "print('MASTER=' + spark.sparkContext.master)\n"
+        "print('SHUF=' + spark.conf.get('spark.sql.shuffle.partitions'))\n"
+        "print('TZ=' + spark.conf.get('spark.sql.session.timeZone'))\n"
         "spark.stop()\n"
     )
-    env = {k: v for k, v in os.environ.items() if k != "SPARK_GRAFT_MASTER"}
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("SPARK_GRAFT_MASTER", "SPARK_GRAFT_SHUFFLE")}
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
         [spark_submit, "--master", "local[3]", "--conf",
-         "spark.ui.enabled=false", str(script)],
+         "spark.ui.enabled=false", "--conf",
+         "spark.sql.shuffle.partitions=7", str(script)],
         capture_output=True, text=True, timeout=300, env=env,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "MASTER=local[3]" in out.stdout, out.stdout[-2000:]
+    # submit-time --conf beats the static default for the same key...
+    assert "SHUF=7" in out.stdout, out.stdout[-2000:]
+    # ...while untouched defaults still apply
+    assert "TZ=UTC" in out.stdout, out.stdout[-2000:]
