@@ -1,0 +1,340 @@
+"""Persisted incremental near-dup index (MinHash band postings + signatures).
+
+The production shape of corpus dedup is INCREMENTAL: a new crawl dump
+(10^8-10^9 docs) must be near-dup-checked against every dump already
+ingested (10^11-10^12 docs) without re-signaturing the whole corpus per
+batch. A one-shot self-join (``dedup.minhash_near_duplicates``) is the
+wrong tool for that — it is O(corpus) per batch. This module persists the
+per-doc MinHash state once and makes each batch O(batch + collisions):
+
+* ``sigs/``      — one row per indexed doc: (doc_id, mh0..mh{k-1}),
+  partitioned by ``sp = pmod(xxhash64(doc_id), n_parts)``.
+* ``postings/``  — (doc_id, band_idx, band_hash), partitioned by
+  ``pq = pmod(xxhash64(band_idx, band_hash), n_parts)``.
+* ``_params``    — JSON (num_hashes, bands, hash_fn, n_parts), written via
+  the Hadoop FS API. Probe and merge take NO scheme arguments — they
+  always replay the stored params, so the index can never be probed with
+  a mismatched scheme (the silently-empty-collisions desync trap the IVF
+  codebook guard exists for, similarity.py).
+
+Scale shape of a batch probe (``incremental_near_dups``):
+
+1. band the new batch (O(batch) signature work — the only heavy compute);
+2. collect the batch's DISTINCT ``pq`` values (bounded by n_parts, a
+   driver-side list like the IVF probe cells) and scan only those
+   postings partitions — a small batch touches few partitions, a full
+   dump touches all of them, and either way the scan is partition-pruned
+   to exactly the buckets the batch can collide with;
+3. shuffle-join batch bands against the pruned postings on
+   (band_idx, band_hash) — collisions only, never all pairs; ``max_bucket``
+   caps degenerate boilerplate buckets exactly as in the one-shot path;
+4. fetch the colliding OLD docs' signatures from ``sigs/`` (partition-
+   pruned the same way via their ``sp``) and keep pairs whose signature
+   agreement ≥ threshold. Agreement = fraction of equal minhash
+   components — the standard unbiased Jaccard estimator, the only
+   similarity computable without storing every historical text.
+
+``merge_minhash_index`` appends the batch's survivors idempotently
+(anti-join on doc_id against the touched ``sp`` partitions first, the
+merge_cache pattern) and hash-distributes on the partition key before the
+partitioned write, so each merge adds at most ONE file per touched
+partition (see sources/io.py on the tasks×shards explosion).
+
+Reference: the reference tool has no incremental mode (pdf2doi processes
+files one-shot, reference main.py:222-260); this family is part of the
+training-data-pipeline mandate, not reference parity.
+"""
+from __future__ import annotations
+
+import json
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pdf2doi_spark.operators.dedup import (
+    cap_buckets,
+    has_min_words,
+    minhash_signature,
+    word_shingles,
+)
+from pdf2doi_spark.sources.io import (
+    _fs_read_small,
+    _fs_write_small,
+    fs_exists,
+)
+
+_PARAMS_FILE = "_params"
+
+
+def _params_path(index_path: str) -> str:
+    return index_path.rstrip("/") + "/" + _PARAMS_FILE
+
+
+def load_index_params(spark: SparkSession, index_path: str) -> dict:
+    if not fs_exists(spark, _params_path(index_path)):
+        raise ValueError(
+            f"no minhash index at {index_path!r} (missing {_PARAMS_FILE})"
+        )
+    return json.loads(_fs_read_small(spark, _params_path(index_path)))
+
+
+def _sig_df(docs: DataFrame, text_col: str, num_hashes: int,
+            hash_fn: str) -> DataFrame:
+    sh = docs.filter(has_min_words(F.col(text_col))).select(
+        F.col("doc_id"), word_shingles(F.col(text_col)).alias("sh")
+    )
+    return sh.select(
+        "doc_id", *minhash_signature(F.col("sh"), num_hashes, hash_fn)
+    )
+
+
+def _bands_from_sigs(sigs: DataFrame, num_hashes: int, bands: int,
+                     hash_fn: str) -> DataFrame:
+    """(doc_id, band_idx, band_hash) derived from an existing signature
+    table — same band construction as dedup.minhash_bands, but without
+    re-shingling and re-hashing the text (the signature pass is the heavy
+    compute; build/merge would otherwise pay it twice)."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}")
+                 for r in range(rows_per_band)]
+        band_hash = (
+            F.md5(F.concat_ws("|", *parts)) if hash_fn == "md5"
+            else F.xxhash64(*parts)
+        )
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_idx"), band_hash.alias("band_hash"))
+        )
+    return (
+        sigs.select(F.col("doc_id"),
+                    F.explode(F.array(*band_cols)).alias("band"))
+        .select("doc_id", F.col("band.band_idx").alias("band_idx"),
+                F.col("band.band_hash").alias("band_hash"))
+    )
+
+
+def _sp(n_parts: int):
+    return F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_parts)).cast("int")
+
+
+def _pq(n_parts: int):
+    return F.pmod(
+        F.xxhash64(F.col("band_idx"), F.col("band_hash")), F.lit(n_parts)
+    ).cast("int")
+
+
+def build_minhash_index(spark: SparkSession, docs: DataFrame,
+                        index_path: str, *, text_col: str = "text",
+                        num_hashes: int = 12, bands: int = 4,
+                        hash_fn: str = "md5", n_parts: int = 64) -> None:
+    """Create the persisted index from an initial corpus (typically the
+    survivors of a one-shot near-dup pass). Overwrites ``index_path``."""
+    params = {"num_hashes": num_hashes, "bands": bands,
+              "hash_fn": hash_fn, "n_parts": n_parts}
+    sigs = _sig_df(docs, text_col, num_hashes, hash_fn) \
+        .withColumn("sp", _sp(n_parts))
+    (sigs.repartition(F.col("sp"))
+         .write.mode("overwrite").partitionBy("sp")
+         .parquet(index_path.rstrip("/") + "/sigs"))
+    # bands from the JUST-WRITTEN sigs: one signature pass total, and the
+    # postings are derived from exactly the rows the sigs table stores
+    stored = spark.read.parquet(index_path.rstrip("/") + "/sigs")
+    posts = _bands_from_sigs(stored, num_hashes, bands, hash_fn) \
+        .withColumn("pq", _pq(n_parts))
+    (posts.repartition(F.col("pq"))
+          .write.mode("overwrite").partitionBy("pq")
+          .parquet(index_path.rstrip("/") + "/postings"))
+    # params last: their presence marks the index complete (load refuses
+    # a half-written index)
+    _fs_write_small(spark, _params_path(index_path), json.dumps(params))
+
+
+def _pruned(table: DataFrame, part_col: str, values: List[int]) -> DataFrame:
+    # isin over a bounded driver-side list (≤ n_parts ints) → partition
+    # pruning at the parquet scan, the stored-IVF probe pattern
+    return table.filter(F.col(part_col).isin(values))
+
+
+def _agreement(num_hashes: int, left: str = "mh", right: str = "omh"):
+    terms = [
+        (F.col(f"{left}{i}") == F.col(f"{right}{i}")).cast("int")
+        for i in range(num_hashes)
+    ]
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = expr + t
+    return expr / F.lit(num_hashes)
+
+
+def incremental_near_dups(spark: SparkSession, index_path: str,
+                          new_docs: DataFrame, *, text_col: str = "text",
+                          threshold: float = 0.5,
+                          max_bucket: Optional[int] = None,
+                          include_intra_batch: bool = True) -> DataFrame:
+    """Near-dups of ``new_docs`` against the index (and, by default, among
+    the batch itself): (doc_id, dup_of, est_jaccard, source).
+
+    ``est_jaccard`` is the signature-agreement estimate; ``source`` is
+    ``'index'`` or ``'batch'``. Each new doc reports at most one row —
+    its best match (max est_jaccard, then min dup_of), index matches
+    preferred over intra-batch matches at equal similarity. Docs shorter
+    than the shingle minimum never signature, so they never report.
+    Resolution is one-level (a doc is not re-pointed to its dup's dup):
+    callers wanting full clusters feed the pairs to
+    ``dedup.connected_components``.
+    """
+    p = load_index_params(spark, index_path)
+    num_hashes, bands_n = p["num_hashes"], p["bands"]
+    hash_fn, n_parts = p["hash_fn"], p["n_parts"]
+    root = index_path.rstrip("/")
+
+    # ONE signature pass for the batch (the heavy compute); bands are
+    # derived from the persisted signatures, and the same rows later feed
+    # the agreement estimate
+    new_sigs = _sig_df(new_docs, text_col, num_hashes, hash_fn).persist()
+    new_bands = _bands_from_sigs(new_sigs, num_hashes, bands_n, hash_fn) \
+        .withColumn("pq", _pq(n_parts))
+    if max_bucket is not None:
+        new_bands = cap_buckets(new_bands, ["band_idx", "band_hash"],
+                                max_bucket)
+    try:
+        touched = [r.pq for r in new_bands.select("pq").distinct().collect()]
+
+        posts = _pruned(
+            spark.read.parquet(root + "/postings"), "pq", touched
+        )
+        if max_bucket is not None:
+            posts = cap_buckets(posts, ["band_idx", "band_hash"], max_bucket)
+        coll = (
+            new_bands.alias("n")
+            .join(posts.alias("o"),
+                  (F.col("n.band_idx") == F.col("o.band_idx"))
+                  & (F.col("n.band_hash") == F.col("o.band_hash"))
+                  # a re-submitted batch must not match itself in the index
+                  & (F.col("n.doc_id") != F.col("o.doc_id")))
+            .select(F.col("n.doc_id").alias("doc_id"),
+                    F.col("o.doc_id").alias("dup_of"))
+            .distinct()
+        )
+
+        old_ids = coll.select(F.col("dup_of").alias("doc_id")).distinct() \
+            .withColumn("sp", _sp(n_parts))
+        sp_touched = [r.sp for r in old_ids.select("sp").distinct().collect()]
+        # rename the historical side up front: unqualified column refs
+        # after a chain of joins on like-named columns are ambiguous
+        old_sigs = (
+            _pruned(spark.read.parquet(root + "/sigs"), "sp", sp_touched)
+            .join(old_ids.select("doc_id"), "doc_id", "left_semi")
+            .select(F.col("doc_id").alias("_oid"),
+                    *[F.col(f"mh{i}").alias(f"omh{i}")
+                      for i in range(num_hashes)])
+        )
+
+        idx_pairs = (
+            coll.join(new_sigs, "doc_id")
+            .join(old_sigs, F.col("dup_of") == F.col("_oid"))
+            .select("doc_id", "dup_of",
+                    _agreement(num_hashes).alias("est_jaccard"),
+                    F.lit("index").alias("source"))
+        )
+
+        pairs = idx_pairs
+        if include_intra_batch:
+            batch_coll = (
+                new_bands.alias("n0")
+                .join(new_bands.alias("o0"),
+                      (F.col("n0.band_idx") == F.col("o0.band_idx"))
+                      & (F.col("n0.band_hash") == F.col("o0.band_hash"))
+                      # later doc dups the earlier one, never both ways
+                      & (F.col("n0.doc_id") > F.col("o0.doc_id")))
+                .select(F.col("n0.doc_id").alias("doc_id"),
+                        F.col("o0.doc_id").alias("dup_of"))
+                .distinct()
+            )
+            earlier = new_sigs.select(
+                F.col("doc_id").alias("_oid"),
+                *[F.col(f"mh{i}").alias(f"omh{i}")
+                  for i in range(num_hashes)],
+            )
+            batch_pairs = (
+                batch_coll.join(new_sigs, "doc_id")
+                .join(earlier, F.col("dup_of") == F.col("_oid"))
+                .select("doc_id", "dup_of",
+                        _agreement(num_hashes).alias("est_jaccard"),
+                        F.lit("batch").alias("source"))
+            )
+            pairs = idx_pairs.unionByName(batch_pairs)
+
+        from pyspark.sql import Window
+
+        best = Window.partitionBy("doc_id").orderBy(
+            F.col("est_jaccard").desc(),
+            # index matches outrank batch matches at equal similarity
+            # ('index' > 'batch' lexicographically, so descending):
+            # pointing at the persisted corpus keeps dup chains shallow
+            F.col("source").desc(),
+            F.col("dup_of").asc(),
+        )
+        return (
+            pairs.filter(F.col("est_jaccard") >= threshold)
+            .withColumn("_rk", F.row_number().over(best))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+    finally:
+        new_sigs.unpersist()
+
+
+def merge_minhash_index(spark: SparkSession, index_path: str,
+                        new_docs: DataFrame, *, text_col: str = "text",
+                        exclude: Optional[DataFrame] = None) -> None:
+    """Append ``new_docs`` (minus ``exclude`` — typically the ``doc_id``
+    column of ``incremental_near_dups``' result) to the index.
+
+    Idempotent: doc_ids already present are anti-joined away against the
+    touched ``sp`` partitions before any write, so a restarted ingest
+    re-merges to a no-op. ``exclude``'s plan is evaluated lazily inside
+    this call — build it from the index BEFORE merging (the normal
+    probe-then-merge order); its parquet reads keep their pre-append file
+    listing, so the self-reference is safe in that order. Appends are hash-distributed on the partition
+    key → at most one new file per touched partition per merge; compact
+    with ``build_minhash_index`` over the full corpus when file counts
+    warrant (one rewrite, offline).
+    """
+    p = load_index_params(spark, index_path)
+    root = index_path.rstrip("/")
+    num_hashes, bands_n = p["num_hashes"], p["bands"]
+    hash_fn, n_parts = p["hash_fn"], p["n_parts"]
+
+    docs = new_docs
+    if exclude is not None:
+        docs = docs.join(
+            exclude.select(F.col("doc_id")).distinct(), "doc_id", "left_anti"
+        )
+
+    sigs = _sig_df(docs, text_col, num_hashes, hash_fn) \
+        .withColumn("sp", _sp(n_parts)).persist()
+    try:
+        sp_touched = [r.sp for r in sigs.select("sp").distinct().collect()]
+        existing = _pruned(
+            spark.read.parquet(root + "/sigs"), "sp", sp_touched
+        ).select("doc_id")
+        fresh = sigs.join(existing, "doc_id", "left_anti").persist()
+        try:
+            (fresh.repartition(F.col("sp"))
+                  .write.mode("append").partitionBy("sp")
+                  .parquet(root + "/sigs"))
+            # postings from the persisted fresh sigs: no second shingle
+            # pass, and the two tables cannot desync
+            posts = (
+                _bands_from_sigs(fresh, num_hashes, bands_n, hash_fn)
+                .withColumn("pq", _pq(n_parts))
+            )
+            (posts.repartition(F.col("pq"))
+                  .write.mode("append").partitionBy("pq")
+                  .parquet(root + "/postings"))
+        finally:
+            fresh.unpersist()
+    finally:
+        sigs.unpersist()

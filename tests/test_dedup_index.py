@@ -1,0 +1,225 @@
+"""Persisted incremental near-dup index (operators/dedup_index.py).
+
+The Spark result is checked against an independent Python replay of the
+md5 keyed-min-hash contract (hashlib over the same normalization/shingle
+scheme) — the same cross-engine contract the DuckDB oracles pin for the
+one-shot minhash family.
+"""
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf2doi_spark.operators.dedup_index import (
+    build_minhash_index,
+    incremental_near_dups,
+    load_index_params,
+    merge_minhash_index,
+)
+
+NUM_HASHES, BANDS, N_PARTS = 12, 4, 16
+
+
+# ---------------------------------------------------- python replay oracle
+
+def _norm(text: str) -> str:
+    return re.sub(r"\s+", " ", text.strip().lower())
+
+
+def _shingles(text: str, n: int = 3) -> set:
+    words = _norm(text).split(" ")
+    if len(words) < n:
+        return set()
+    return {" ".join(words[i:i + n]) for i in range(len(words) - n + 1)}
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def _sig(shingles: set) -> list:
+    return [min(_md5(f"{i}:{s}") for s in shingles)
+            for i in range(NUM_HASHES)]
+
+
+def _bands_of(sig: list) -> list:
+    r = NUM_HASHES // BANDS
+    return [(b, _md5("|".join(sig[b * r:(b + 1) * r]))) for b in range(BANDS)]
+
+
+def _expected(index_docs: dict, batch_docs: dict, threshold: float) -> dict:
+    """doc_id -> (dup_of, est_jaccard, source) replaying the full scheme."""
+    idx_sigs = {d: _sig(sh) for d, t in index_docs.items()
+                if (sh := _shingles(t))}
+    new_sigs = {d: _sig(sh) for d, t in batch_docs.items()
+                if (sh := _shingles(t))}
+    idx_bands = {}
+    for d, s in idx_sigs.items():
+        for key in _bands_of(s):
+            idx_bands.setdefault(key, set()).add(d)
+    new_bands = {}
+    for d, s in new_sigs.items():
+        for key in _bands_of(s):
+            new_bands.setdefault(key, set()).add(d)
+
+    out = {}
+    for d, s in new_sigs.items():
+        cands = []  # (est, source_rank, dup_of, source)
+        seen = set()
+        for key in _bands_of(s):
+            for o in idx_bands.get(key, ()):
+                if o != d and ("i", o) not in seen:
+                    seen.add(("i", o))
+                    est = sum(a == b for a, b in zip(s, idx_sigs[o])) / NUM_HASHES
+                    cands.append((est, 0, o, "index"))
+            for o in new_bands.get(key, ()):
+                if o < d and ("b", o) not in seen:
+                    seen.add(("b", o))
+                    est = sum(a == b for a, b in zip(s, new_sigs[o])) / NUM_HASHES
+                    cands.append((est, 1, o, "batch"))
+        cands = [c for c in cands if c[0] >= threshold]
+        if cands:
+            est, _, dup_of, source = sorted(
+                cands, key=lambda c: (-c[0], c[1], c[2]))[0]
+            out[d] = (dup_of, round(est, 6), source)
+    return out
+
+
+def _doc_maps(spark, sf_dir):
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text").limit(180).collect()
+    )
+    docs = {r.doc_id: r.text for r in rows}
+    ids = sorted(docs)
+    index_docs = {d: docs[d] for d in ids[:120]}
+    batch_docs = {d: docs[d] for d in ids[120:]}
+    # planted near-dups of indexed docs (8 inserted words → agreement
+    # 0.833 on the sf0.001 fixture, replay-verified) and one exact
+    # re-post (agreement 1.0)
+    src = ids[3]
+    batch_docs[900001] = index_docs[src].replace(" ", " xyzzy ", 8)
+    batch_docs[900002] = index_docs[src]
+    # intra-batch pair: 900004 dups 900003, neither is indexed
+    batch_docs[900003] = "unique batch content " + ("alpha beta gamma " * 10)
+    batch_docs[900004] = batch_docs[900003]
+    return index_docs, batch_docs
+
+
+def _df(spark, mapping):
+    return spark.createDataFrame(
+        sorted(mapping.items()), "doc_id long, text string"
+    )
+
+
+def test_incremental_near_dups_matches_python_replay(spark, sf_dir, tmp_path):
+    index_docs, batch_docs = _doc_maps(spark, sf_dir)
+    idx_path = str(tmp_path / "mh_index")
+    build_minhash_index(spark, _df(spark, index_docs), idx_path,
+                        num_hashes=NUM_HASHES, bands=BANDS, n_parts=N_PARTS)
+    assert load_index_params(spark, idx_path)["num_hashes"] == NUM_HASHES
+
+    got_df = incremental_near_dups(
+        spark, idx_path, _df(spark, batch_docs), threshold=0.5
+    )
+    got = {r.doc_id: (r.dup_of, round(r.est_jaccard, 6), r.source)
+           for r in got_df.collect()}
+    want = _expected(index_docs, batch_docs, 0.5)
+    assert got == want
+    # the planted rows genuinely exercise all three shapes
+    assert got[900002][0] == sorted(index_docs)[3] and got[900002][1] == 1.0
+    assert got[900001][0] == sorted(index_docs)[3] and 0.5 <= got[900001][1] < 1.0
+    assert got[900004] == (900003, 1.0, "batch")
+
+
+def test_incremental_merge_is_idempotent_and_compact(spark, sf_dir, tmp_path):
+    index_docs, batch_docs = _doc_maps(spark, sf_dir)
+    idx_path = str(tmp_path / "mh_index")
+    build_minhash_index(spark, _df(spark, index_docs), idx_path,
+                        num_hashes=NUM_HASHES, bands=BANDS, n_parts=N_PARTS)
+
+    dups = incremental_near_dups(
+        spark, idx_path, _df(spark, batch_docs), threshold=0.5
+    ).select("doc_id")
+    n_dups = dups.count()
+    assert n_dups >= 3  # the planted rows at minimum
+
+    merge_minhash_index(spark, idx_path, _df(spark, batch_docs),
+                        exclude=dups)
+    sigs = spark.read.parquet(idx_path + "/sigs")
+    n_after_first = sigs.count()
+    n_sigable = sum(1 for t in batch_docs.values() if _shingles(t))
+    assert n_after_first == len(index_docs) + n_sigable - n_dups
+
+    # re-merge the same batch: zero new rows, zero new files
+    files_before = sorted(glob.glob(idx_path + "/sigs/sp=*/*.parquet"))
+    merge_minhash_index(spark, idx_path, _df(spark, batch_docs),
+                        exclude=dups)
+    assert spark.read.parquet(idx_path + "/sigs").count() == n_after_first
+    files_after = sorted(glob.glob(idx_path + "/sigs/sp=*/*.parquet"))
+    assert files_before == files_after
+
+    # survivors are now visible: a re-probe of the same batch reports the
+    # former intra-batch dup against the INDEX instead
+    re_probe = incremental_near_dups(
+        spark, idx_path, _df(spark, {900004: batch_docs[900004]}),
+        threshold=0.5,
+    ).collect()
+    assert len(re_probe) == 1
+    assert re_probe[0].dup_of == 900003 and re_probe[0].source == "index"
+
+    # at most one file per touched partition per merge
+    for d in glob.glob(idx_path + "/sigs/sp=*"):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) <= 2, d
+    for d in glob.glob(idx_path + "/postings/pq=*"):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) <= 2, d
+
+
+def test_incremental_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """A one-doc probe must scan only the postings partitions its bands
+    hash into — PartitionFilters on pq at the parquet scan."""
+    index_docs, batch_docs = _doc_maps(spark, sf_dir)
+    idx_path = str(tmp_path / "mh_index")
+    build_minhash_index(spark, _df(spark, index_docs), idx_path,
+                        num_hashes=NUM_HASHES, bands=BANDS, n_parts=N_PARTS)
+
+    one = {900002: batch_docs[900002]}
+    got_df = incremental_near_dups(spark, idx_path, _df(spark, one),
+                                   threshold=0.5)
+    plan = got_df._sc._jvm.PythonSQLUtils.explainString(
+        got_df._jdf.queryExecution(), "formatted"
+    )
+    m = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("pq" in f and "dynamicpruning" not in f for f in m), plan
+    # ≤ BANDS distinct band keys → ≤ BANDS pq values in the IN-list
+    pq_filter = next(f for f in m if "pq" in f)
+    in_list = re.search(r"IN \(([^)]*)\)", pq_filter)
+    assert in_list and in_list.group(1).count(",") < BANDS, pq_filter
+
+
+def test_probe_with_no_collisions_is_empty(spark, sf_dir, tmp_path):
+    """A batch that collides with nothing (and an sp_touched=[] prune on
+    the sigs side) returns an empty frame, not an error."""
+    index_docs, _ = _doc_maps(spark, sf_dir)
+    idx_path = str(tmp_path / "mh_index")
+    build_minhash_index(spark, _df(spark, index_docs), idx_path,
+                        num_hashes=NUM_HASHES, bands=BANDS, n_parts=N_PARTS)
+    alien = {777001: "zq wv xr yt uk pl mn bc df gh jk " * 5}
+    out = incremental_near_dups(spark, idx_path, _df(spark, alien),
+                                threshold=0.5)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "dup_of", "est_jaccard", "source"]
+
+
+def test_probe_of_missing_index_refuses(spark, tmp_path):
+    with pytest.raises(ValueError, match="no minhash index"):
+        incremental_near_dups(
+            spark, str(tmp_path / "nope"),
+            spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string"),
+        )
