@@ -983,6 +983,72 @@ def _q_minhash_near_dups():
     return q, sql
 
 
+def _q_incremental_near_dups():
+    """Persisted incremental near-dup index (operators/dedup_index.py):
+    docs with doc_id % 3 != 0 are indexed, the rest arrive as the "new
+    dump" and are probed + best-matched by signature agreement. The
+    builder materializes the index in a fresh temp dir per call — the
+    persisted side-state IS the operator, which is why this lives in the
+    pytest-oracle family rather than the self-contained 50-row driver
+    gate. The SQL replays the ENTIRE flow (md5 keyed-min signatures,
+    banding, index/batch collision arms, agreement estimate, best-match
+    ranking) on the same split."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pdf2doi_spark.operators.dedup_index import (
+            build_minhash_index,
+            incremental_near_dups,
+        )
+
+        docs = _docs(spark, sf_dir)
+        idx = tempfile.mkdtemp(prefix="pdf2doi_incr_idx_")
+        build_minhash_index(
+            spark, docs.filter(F.col("doc_id") % 3 != 0), idx
+        )
+        out = incremental_near_dups(
+            spark, idx, docs.filter(F.col("doc_id") % 3 == 0), threshold=0.5
+        )
+        return out.orderBy("doc_id")
+
+    sql = _SHINGLE_SQL + r"""
+        , sig AS (
+          SELECT doc_id,
+                 [list_aggregate(list_transform(s, x -> md5(CAST(k AS VARCHAR) || ':' || x)), 'min')
+                  for k in range(0, 12)] AS mh
+          FROM sh
+        ), bands AS (
+          SELECT doc_id, (doc_id % 3 = 0) AS is_batch, CAST(b AS INT) AS band_idx,
+                 md5(array_to_string(mh[b*3+1 : b*3+3], '|')) AS band_hash
+          FROM sig, (SELECT unnest(range(0, 4)) AS b)
+        ), coll AS (
+          SELECT n.doc_id AS doc_id, o.doc_id AS dup_of, 'index' AS source
+          FROM bands n JOIN bands o USING (band_idx, band_hash)
+          WHERE n.is_batch AND NOT o.is_batch
+          UNION
+          SELECT n.doc_id, o.doc_id, 'batch'
+          FROM bands n JOIN bands o USING (band_idx, band_hash)
+          WHERE n.is_batch AND o.is_batch AND o.doc_id < n.doc_id
+        ), est AS (
+          SELECT c.doc_id, c.dup_of, c.source,
+                 list_sum([CASE WHEN sn.mh[k+1] = so.mh[k+1] THEN 1 ELSE 0 END
+                           for k in range(0, 12)]) / 12.0 AS est_jaccard
+          FROM coll c
+          JOIN sig sn ON sn.doc_id = c.doc_id
+          JOIN sig so ON so.doc_id = c.dup_of
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id
+            ORDER BY est_jaccard DESC, source DESC, dup_of ASC) AS rk
+          FROM est WHERE est_jaccard >= 0.5
+        )
+        SELECT doc_id, dup_of, CAST(est_jaccard AS DOUBLE) AS est_jaccard,
+               source
+        FROM ranked WHERE rk = 1 ORDER BY doc_id
+    """
+    return q, sql
+
+
 def _q_minhash_bucket_profile():
     """The LSH skew audit (dedup.py minhash_bucket_profile): bucket-size
     histogram of the band join's shuffle key — what you run BEFORE picking
@@ -2976,6 +3042,7 @@ _BUILDERS = {
     "minhash_bands": _q_minhash_bands,
     "minhash_near_dups": _q_minhash_near_dups,
     "minhash_bucket_profile": _q_minhash_bucket_profile,
+    "incremental_near_dups": _q_incremental_near_dups,
     "dedup_bucket_profile": _q_dedup_bucket_profile,
     "dedup_survivors": _q_dedup_survivors,
     "dup_components": _q_dup_components,
