@@ -338,3 +338,30 @@ def merge_minhash_index(spark: SparkSession, index_path: str,
             fresh.unpersist()
     finally:
         sigs.unpersist()
+
+
+def compact_minhash_index(spark: SparkSession, index_path: str) -> None:
+    """Rewrite both index tables to one file per partition.
+
+    Every merge appends ≤1 file per touched partition, so after K dumps a
+    partition holds up to K small files; scan cost and open-file overhead
+    creep up with corpus age. Run this offline when file counts warrant
+    (it is one full read+write of the index — the same cost as one
+    signature-free merge of the whole corpus). Values are untouched;
+    params are untouched. Via a .tmp swap because Spark (correctly)
+    refuses to overwrite a path it is reading from.
+    """
+    from pdf2doi_spark.sources.io import _rmtree
+
+    load_index_params(spark, index_path)  # refuse half-built/missing index
+    root = index_path.rstrip("/")
+    for table, part_col in (("sigs", "sp"), ("postings", "pq")):
+        path = f"{root}/{table}"
+        tmp = f"{path}.cmp"
+        (spark.read.parquet(path)
+             .repartition(F.col(part_col))
+             .write.mode("overwrite").partitionBy(part_col).parquet(tmp))
+        (spark.read.parquet(tmp)
+             .repartition(F.col(part_col))
+             .write.mode("overwrite").partitionBy(part_col).parquet(path))
+        _rmtree(tmp, spark)

@@ -223,3 +223,41 @@ def test_probe_of_missing_index_refuses(spark, tmp_path):
             spark, str(tmp_path / "nope"),
             spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string"),
         )
+
+
+def test_compact_minhash_index(spark, sf_dir, tmp_path):
+    """After two merges a partition may hold several files; compaction
+    rewrites to exactly one file per partition with values (and probe
+    results) unchanged."""
+    from pdf2doi_spark.operators.dedup_index import compact_minhash_index
+
+    index_docs, batch_docs = _doc_maps(spark, sf_dir)
+    idx_path = str(tmp_path / "mh_index")
+    build_minhash_index(spark, _df(spark, index_docs), idx_path,
+                        num_hashes=NUM_HASHES, bands=BANDS, n_parts=N_PARTS)
+    half = dict(list(batch_docs.items())[:30])
+    rest = {k: v for k, v in batch_docs.items() if k not in half}
+    merge_minhash_index(spark, idx_path, _df(spark, half))
+    merge_minhash_index(spark, idx_path, _df(spark, rest))
+    assert any(
+        len(glob.glob(os.path.join(d, "*.parquet"))) > 1
+        for d in glob.glob(idx_path + "/sigs/sp=*")
+    ), "fixture did not produce a multi-file partition"
+
+    before_sigs = spark.read.parquet(idx_path + "/sigs").count()
+    probe = {999123: list(index_docs.values())[0]}
+    before_hit = incremental_near_dups(
+        spark, idx_path, _df(spark, probe), threshold=0.9
+    ).collect()
+
+    compact_minhash_index(spark, idx_path)
+
+    for table in ("sigs", "postings"):
+        for d in glob.glob(f"{idx_path}/{table}/*=*"):
+            assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
+    assert not glob.glob(idx_path + "/sigs.cmp")
+    assert spark.read.parquet(idx_path + "/sigs").count() == before_sigs
+    after_hit = incremental_near_dups(
+        spark, idx_path, _df(spark, probe), threshold=0.9
+    ).collect()
+    assert sorted(map(tuple, after_hit)) == sorted(map(tuple, before_hit))
