@@ -52,6 +52,7 @@ from typing import List, Optional
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pdf2doi_spark.operators.dedup import (
+    _truncate_lineage,
     cap_buckets,
     has_min_words,
     minhash_signature,
@@ -320,22 +321,27 @@ def merge_minhash_index(spark: SparkSession, index_path: str,
         existing = _pruned(
             spark.read.parquet(root + "/sigs"), "sp", sp_touched
         ).select("doc_id")
-        fresh = sigs.join(existing, "doc_id", "left_anti").persist()
-        try:
-            (fresh.repartition(F.col("sp"))
-                  .write.mode("append").partitionBy("sp")
-                  .parquet(root + "/sigs"))
-            # postings from the persisted fresh sigs: no second shingle
-            # pass, and the two tables cannot desync
-            posts = (
-                _bands_from_sigs(fresh, num_hashes, bands_n, hash_fn)
-                .withColumn("pq", _pq(n_parts))
-            )
-            (posts.repartition(F.col("pq"))
-                  .write.mode("append").partitionBy("pq")
-                  .parquet(root + "/postings"))
-        finally:
-            fresh.unpersist()
+        # EAGER lineage cut, not persist(): fresh's plan reads the very
+        # sigs path the first write appends to, and that write's commit
+        # refreshes/invalidates every cache entry over the path — the
+        # postings write would then RE-EVALUATE the anti-join against the
+        # just-appended table and derive postings from an empty frame
+        # (sigs/postings silently desync: rows indexed but unfindable).
+        # Caught by the xxhash64-lane test; checkpointing pins fresh to
+        # the pre-append snapshot for both writes.
+        fresh = _truncate_lineage(sigs.join(existing, "doc_id", "left_anti"))
+        (fresh.repartition(F.col("sp"))
+              .write.mode("append").partitionBy("sp")
+              .parquet(root + "/sigs"))
+        # postings from the checkpointed fresh sigs: no second shingle
+        # pass, and the two tables cannot desync
+        posts = (
+            _bands_from_sigs(fresh, num_hashes, bands_n, hash_fn)
+            .withColumn("pq", _pq(n_parts))
+        )
+        (posts.repartition(F.col("pq"))
+              .write.mode("append").partitionBy("pq")
+              .parquet(root + "/postings"))
     finally:
         sigs.unpersist()
 

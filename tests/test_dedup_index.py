@@ -156,6 +156,12 @@ def test_incremental_merge_is_idempotent_and_compact(spark, sf_dir, tmp_path):
     n_after_first = sigs.count()
     n_sigable = sum(1 for t in batch_docs.values() if _shingles(t))
     assert n_after_first == len(index_docs) + n_sigable - n_dups
+    # sigs and postings must never desync: every indexed doc has exactly
+    # BANDS postings (the self-referential-append trap — the first write
+    # invalidates caches over the sigs path, so a lazily re-evaluated
+    # anti-join would derive postings from an empty frame)
+    assert (spark.read.parquet(idx_path + "/postings").count()
+            == n_after_first * BANDS)
 
     # re-merge the same batch: zero new rows, zero new files
     files_before = sorted(glob.glob(idx_path + "/sigs/sp=*/*.parquet"))
@@ -261,3 +267,36 @@ def test_compact_minhash_index(spark, sf_dir, tmp_path):
         spark, idx_path, _df(spark, probe), threshold=0.9
     ).collect()
     assert sorted(map(tuple, after_hit)) == sorted(map(tuple, before_hit))
+
+
+def test_incremental_index_xxhash64_lane(spark, sf_dir, tmp_path):
+    """The production hash lane (VERDICT r3: xxhash64 signatures, ~20%
+    cheaper, bigint band keys) must work through the whole persisted
+    lifecycle. Exact duplicates are hash-agnostic (every signature
+    component matches whatever the hash), so the planted re-posts pin the
+    lane end-to-end without the md5 replay oracle."""
+    index_docs, batch_docs = _doc_maps(spark, sf_dir)
+    idx_path = str(tmp_path / "mh_index_xx")
+    build_minhash_index(spark, _df(spark, index_docs), idx_path,
+                        num_hashes=NUM_HASHES, bands=BANDS,
+                        hash_fn="xxhash64", n_parts=N_PARTS)
+    assert load_index_params(spark, idx_path)["hash_fn"] == "xxhash64"
+    # bigint band keys, not 32-byte hex strings
+    posts = spark.read.parquet(idx_path + "/postings")
+    assert dict(posts.dtypes)["band_hash"] == "bigint"
+
+    got = {r.doc_id: (r.dup_of, r.est_jaccard, r.source)
+           for r in incremental_near_dups(
+               spark, idx_path, _df(spark, batch_docs), threshold=0.99
+           ).collect()}
+    src = sorted(index_docs)[3]
+    assert got[900002] == (src, 1.0, "index")
+    assert got[900004] == (900003, 1.0, "batch")
+
+    merge_minhash_index(spark, idx_path, _df(spark, batch_docs),
+                        exclude=_df(spark, {k: batch_docs[k] for k in got}))
+    re_probe = incremental_near_dups(
+        spark, idx_path, _df(spark, {900004: batch_docs[900004]}),
+        threshold=0.99,
+    ).collect()
+    assert [(r.dup_of, r.source) for r in re_probe] == [(900003, "index")]
