@@ -190,101 +190,104 @@ def incremental_near_dups(spark: SparkSession, index_path: str,
     hash_fn, n_parts = p["hash_fn"], p["n_parts"]
     root = index_path.rstrip("/")
 
-    # ONE signature pass for the batch (the heavy compute); bands are
-    # derived from the persisted signatures, and the same rows later feed
-    # the agreement estimate
-    new_sigs = _sig_df(new_docs, text_col, num_hashes, hash_fn).persist()
+    # ONE signature pass for the batch, cut EAGERLY: new_sigs feeds the
+    # probe plan through up to six branches (both collision arms twice,
+    # both agreement joins), and a persist() would stop protecting the
+    # moment this function returns (the caller's actions would re-run the
+    # signature pass per branch — measured 19.6 s vs 2.9 s for a 1.7k-doc
+    # probe at sf0.1). The checkpoint pins the signature pass to exactly
+    # one execution for the life of the returned DataFrame.
+    new_sigs = _truncate_lineage(
+        _sig_df(new_docs, text_col, num_hashes, hash_fn)
+    )
     new_bands = _bands_from_sigs(new_sigs, num_hashes, bands_n, hash_fn) \
         .withColumn("pq", _pq(n_parts))
     if max_bucket is not None:
         new_bands = cap_buckets(new_bands, ["band_idx", "band_hash"],
                                 max_bucket)
-    try:
-        touched = [r.pq for r in new_bands.select("pq").distinct().collect()]
+    touched = [r.pq for r in new_bands.select("pq").distinct().collect()]
 
-        posts = _pruned(
-            spark.read.parquet(root + "/postings"), "pq", touched
-        )
-        if max_bucket is not None:
-            posts = cap_buckets(posts, ["band_idx", "band_hash"], max_bucket)
-        coll = (
-            new_bands.alias("n")
-            .join(posts.alias("o"),
-                  (F.col("n.band_idx") == F.col("o.band_idx"))
-                  & (F.col("n.band_hash") == F.col("o.band_hash"))
-                  # a re-submitted batch must not match itself in the index
-                  & (F.col("n.doc_id") != F.col("o.doc_id")))
-            .select(F.col("n.doc_id").alias("doc_id"),
-                    F.col("o.doc_id").alias("dup_of"))
+    posts = _pruned(
+        spark.read.parquet(root + "/postings"), "pq", touched
+    )
+    if max_bucket is not None:
+        posts = cap_buckets(posts, ["band_idx", "band_hash"], max_bucket)
+    coll = (
+        new_bands.alias("n")
+        .join(posts.alias("o"),
+              (F.col("n.band_idx") == F.col("o.band_idx"))
+              & (F.col("n.band_hash") == F.col("o.band_hash"))
+              # a re-submitted batch must not match itself in the index
+              & (F.col("n.doc_id") != F.col("o.doc_id")))
+        .select(F.col("n.doc_id").alias("doc_id"),
+                F.col("o.doc_id").alias("dup_of"))
+        .distinct()
+    )
+
+    old_ids = coll.select(F.col("dup_of").alias("doc_id")).distinct() \
+        .withColumn("sp", _sp(n_parts))
+    sp_touched = [r.sp for r in old_ids.select("sp").distinct().collect()]
+    # rename the historical side up front: unqualified column refs
+    # after a chain of joins on like-named columns are ambiguous
+    old_sigs = (
+        _pruned(spark.read.parquet(root + "/sigs"), "sp", sp_touched)
+        .join(old_ids.select("doc_id"), "doc_id", "left_semi")
+        .select(F.col("doc_id").alias("_oid"),
+                *[F.col(f"mh{i}").alias(f"omh{i}")
+                  for i in range(num_hashes)])
+    )
+
+    idx_pairs = (
+        coll.join(new_sigs, "doc_id")
+        .join(old_sigs, F.col("dup_of") == F.col("_oid"))
+        .select("doc_id", "dup_of",
+                _agreement(num_hashes).alias("est_jaccard"),
+                F.lit("index").alias("source"))
+    )
+
+    pairs = idx_pairs
+    if include_intra_batch:
+        batch_coll = (
+            new_bands.alias("n0")
+            .join(new_bands.alias("o0"),
+                  (F.col("n0.band_idx") == F.col("o0.band_idx"))
+                  & (F.col("n0.band_hash") == F.col("o0.band_hash"))
+                  # later doc dups the earlier one, never both ways
+                  & (F.col("n0.doc_id") > F.col("o0.doc_id")))
+            .select(F.col("n0.doc_id").alias("doc_id"),
+                    F.col("o0.doc_id").alias("dup_of"))
             .distinct()
         )
-
-        old_ids = coll.select(F.col("dup_of").alias("doc_id")).distinct() \
-            .withColumn("sp", _sp(n_parts))
-        sp_touched = [r.sp for r in old_ids.select("sp").distinct().collect()]
-        # rename the historical side up front: unqualified column refs
-        # after a chain of joins on like-named columns are ambiguous
-        old_sigs = (
-            _pruned(spark.read.parquet(root + "/sigs"), "sp", sp_touched)
-            .join(old_ids.select("doc_id"), "doc_id", "left_semi")
-            .select(F.col("doc_id").alias("_oid"),
-                    *[F.col(f"mh{i}").alias(f"omh{i}")
-                      for i in range(num_hashes)])
+        earlier = new_sigs.select(
+            F.col("doc_id").alias("_oid"),
+            *[F.col(f"mh{i}").alias(f"omh{i}")
+              for i in range(num_hashes)],
         )
-
-        idx_pairs = (
-            coll.join(new_sigs, "doc_id")
-            .join(old_sigs, F.col("dup_of") == F.col("_oid"))
+        batch_pairs = (
+            batch_coll.join(new_sigs, "doc_id")
+            .join(earlier, F.col("dup_of") == F.col("_oid"))
             .select("doc_id", "dup_of",
                     _agreement(num_hashes).alias("est_jaccard"),
-                    F.lit("index").alias("source"))
+                    F.lit("batch").alias("source"))
         )
+        pairs = idx_pairs.unionByName(batch_pairs)
 
-        pairs = idx_pairs
-        if include_intra_batch:
-            batch_coll = (
-                new_bands.alias("n0")
-                .join(new_bands.alias("o0"),
-                      (F.col("n0.band_idx") == F.col("o0.band_idx"))
-                      & (F.col("n0.band_hash") == F.col("o0.band_hash"))
-                      # later doc dups the earlier one, never both ways
-                      & (F.col("n0.doc_id") > F.col("o0.doc_id")))
-                .select(F.col("n0.doc_id").alias("doc_id"),
-                        F.col("o0.doc_id").alias("dup_of"))
-                .distinct()
-            )
-            earlier = new_sigs.select(
-                F.col("doc_id").alias("_oid"),
-                *[F.col(f"mh{i}").alias(f"omh{i}")
-                  for i in range(num_hashes)],
-            )
-            batch_pairs = (
-                batch_coll.join(new_sigs, "doc_id")
-                .join(earlier, F.col("dup_of") == F.col("_oid"))
-                .select("doc_id", "dup_of",
-                        _agreement(num_hashes).alias("est_jaccard"),
-                        F.lit("batch").alias("source"))
-            )
-            pairs = idx_pairs.unionByName(batch_pairs)
+    from pyspark.sql import Window
 
-        from pyspark.sql import Window
-
-        best = Window.partitionBy("doc_id").orderBy(
-            F.col("est_jaccard").desc(),
-            # index matches outrank batch matches at equal similarity
-            # ('index' > 'batch' lexicographically, so descending):
-            # pointing at the persisted corpus keeps dup chains shallow
-            F.col("source").desc(),
-            F.col("dup_of").asc(),
-        )
-        return (
-            pairs.filter(F.col("est_jaccard") >= threshold)
-            .withColumn("_rk", F.row_number().over(best))
-            .filter(F.col("_rk") == 1)
-            .drop("_rk")
-        )
-    finally:
-        new_sigs.unpersist()
+    best = Window.partitionBy("doc_id").orderBy(
+        F.col("est_jaccard").desc(),
+        # index matches outrank batch matches at equal similarity
+        # ('index' > 'batch' lexicographically, so descending):
+        # pointing at the persisted corpus keeps dup chains shallow
+        F.col("source").desc(),
+        F.col("dup_of").asc(),
+    )
+    return (
+        pairs.filter(F.col("est_jaccard") >= threshold)
+        .withColumn("_rk", F.row_number().over(best))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
 
 
 def merge_minhash_index(spark: SparkSession, index_path: str,
