@@ -374,3 +374,18 @@ def compact_minhash_index(spark: SparkSession, index_path: str) -> None:
              .repartition(F.col(part_col))
              .write.mode("overwrite").partitionBy(part_col).parquet(path))
         _rmtree(tmp, spark)
+
+
+def minhash_index_profile(spark: SparkSession, index_path: str) -> DataFrame:
+    """Bucket-size distribution of the PERSISTED postings — the skew audit
+    for the incremental family (same schema as dedup.bucket_histogram, so
+    it composes with the one-shot audits). Run it before choosing a
+    ``max_bucket`` for the next dump's probe: the index accumulates every
+    prior dump's boilerplate, so a bucket that was harmless at dump 0 can
+    be degenerate by dump 50 — this is the query that tells you.
+    """
+    from pdf2doi_spark.operators.dedup import bucket_histogram
+
+    load_index_params(spark, index_path)
+    posts = spark.read.parquet(index_path.rstrip("/") + "/postings")
+    return bucket_histogram(posts, ["band_idx", "band_hash"])

@@ -143,3 +143,78 @@ def run_stream_with_cache_merge(spark: SparkSession, landing_dir: str,
         .start()
     )
     q.awaitTermination()
+
+
+def run_stream_with_index_dedup(spark: SparkSession, landing_dir: str,
+                                out_dir: str, index_path: str,
+                                threshold: float = 0.5) -> None:
+    """Streaming corpus ingestion against the persisted near-dup index
+    (operators/dedup_index.py): each micro-batch of documents is probed
+    against everything ingested so far (plus itself), written with its
+    dup verdicts, and its survivors merged into the index — so a document
+    near-duplicated in a LATER batch is flagged against the accumulated
+    corpus, the streaming form of examples/incremental_ingest.py's dump
+    cadence.
+
+    Idempotence under foreachBatch's at-least-once contract mirrors
+    run_stream_with_cache_merge: results are written partitioned by
+    ``_batch`` with dynamic overwrite (a retried batch replaces its own
+    partition), and the index merge consumes the batch's WRITTEN
+    partition; merge_minhash_index itself anti-joins already-indexed
+    doc_ids, so a replayed merge is a no-op. The first batch bootstraps
+    the index.
+    """
+    from pyspark.sql import functions as F
+
+    from pdf2doi_spark.operators.dedup_index import (
+        build_minhash_index,
+        incremental_near_dups,
+        merge_minhash_index,
+    )
+    from pdf2doi_spark.sources.io import fs_exists
+
+    docs_stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(landing_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select("doc_id", "text")
+        if not fs_exists(spark, index_path.rstrip("/") + "/_params"):
+            build_minhash_index(spark, batch, index_path)
+            verdicts = batch.select(
+                "doc_id",
+                F.lit(None).cast("long").alias("dup_of"),
+                F.lit(None).cast("double").alias("est_jaccard"),
+                F.lit(None).cast("string").alias("source"),
+            )
+            (verdicts.withColumn("_batch", F.lit(int(batch_id)))
+                     .write.mode("overwrite")
+                     .option("partitionOverwriteMode", "dynamic")
+                     .partitionBy("_batch").parquet(f"{out_dir}/verdicts"))
+            return
+        dups = incremental_near_dups(
+            spark, index_path, batch, threshold=threshold
+        )
+        verdicts = batch.select("doc_id").join(dups, "doc_id", "left")
+        (verdicts.withColumn("_batch", F.lit(int(batch_id)))
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("_batch").parquet(f"{out_dir}/verdicts"))
+        written = (
+            spark.read.parquet(f"{out_dir}/verdicts")
+            .filter(F.col("_batch") == int(batch_id))
+        )
+        merge_minhash_index(
+            spark, index_path, batch,
+            exclude=written.filter(F.col("dup_of").isNotNull())
+            .select("doc_id"),
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{out_dir}/checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

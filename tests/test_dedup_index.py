@@ -300,3 +300,20 @@ def test_incremental_index_xxhash64_lane(spark, sf_dir, tmp_path):
         threshold=0.99,
     ).collect()
     assert [(r.dup_of, r.source) for r in re_probe] == [(900003, "index")]
+
+
+def test_minhash_index_profile(spark, sf_dir, tmp_path):
+    """The persisted-index skew audit equals the one-shot bucket histogram
+    over the same docs (same banding, same schema)."""
+    from pdf2doi_spark.operators.dedup import minhash_bucket_profile
+    from pdf2doi_spark.operators.dedup_index import minhash_index_profile
+
+    index_docs, _ = _doc_maps(spark, sf_dir)
+    idx_path = str(tmp_path / "mh_index")
+    build_minhash_index(spark, _df(spark, index_docs), idx_path,
+                        num_hashes=NUM_HASHES, bands=BANDS, n_parts=N_PARTS)
+    got = minhash_index_profile(spark, idx_path).collect()
+    want = minhash_bucket_profile(
+        _df(spark, index_docs), num_hashes=NUM_HASHES, bands=BANDS
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))

@@ -186,3 +186,45 @@ def test_stream_kill_and_resume_exactly_once(spark, sf_dir, tmp_path):
     assert got.count() == n_urls, (got.count(), n_urls)
     assert got.select("url").distinct().count() == n_urls
     pages.unpersist()
+
+
+def test_stream_index_dedup_flags_cross_batch_dup(spark, tmp_path):
+    """Batch 0 bootstraps the index; a doc re-posted (and a near-copy) in a
+    LATER batch is flagged against the accumulated corpus; survivors join
+    the index so batch 2 sees batch 1's survivors too."""
+    from pdf2doi_spark.streaming.incremental import run_stream_with_index_dedup
+
+    landing = tmp_path / "landing_idx"; landing.mkdir()
+    out = str(tmp_path / "out_idx")
+    index = str(tmp_path / "mh_index")
+    schema = "doc_id long, text string"
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    fresh = "completely different content about spark partitions and shuffles " * 4
+    spark.createDataFrame([(1, base), (2, fresh)], schema) \
+        .write.mode("append").parquet(str(landing))
+    run_stream_with_index_dedup(spark, str(landing), out, index)
+
+    # batch 1: one exact re-post of doc 1, one genuinely new doc
+    newer = "novel text that matches nothing stored in the index so far " * 4
+    spark.createDataFrame([(10, base), (11, newer)], schema) \
+        .write.mode("append").parquet(str(landing))
+    run_stream_with_index_dedup(spark, str(landing), out, index)
+
+    # batch 2: re-post of batch 1's SURVIVOR (proves the merge happened)
+    spark.createDataFrame([(20, newer)], schema) \
+        .write.mode("append").parquet(str(landing))
+    run_stream_with_index_dedup(spark, str(landing), out, index)
+
+    from pyspark.sql import functions as F
+
+    v = spark.read.parquet(f"{out}/verdicts")
+    rows = {r.doc_id: (r.dup_of, r.source) for r in v.collect()}
+    assert rows[1] == (None, None) and rows[2] == (None, None)  # bootstrap
+    assert rows[10] == (1, "index")
+    assert rows[11] == (None, None)
+    assert rows[20] == (11, "index")
+    # index holds exactly the survivors
+    ids = {r.doc_id for r in
+           spark.read.parquet(index + "/sigs").select("doc_id").collect()}
+    assert ids == {1, 2, 11}
