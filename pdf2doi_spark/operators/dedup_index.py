@@ -81,7 +81,14 @@ def load_index_params(spark: SparkSession, index_path: str) -> dict:
 
 def _sig_df(docs: DataFrame, text_col: str, num_hashes: int,
             hash_fn: str) -> DataFrame:
-    sh = docs.filter(has_min_words(F.col(text_col))).select(
+    # NULL doc_ids are dropped outright: every downstream consumer keys on
+    # doc_id (anti-joins, semi-joins, best-match windows), and a NULL key
+    # matches nothing — a null-id row would re-append to the index on
+    # EVERY merge (the idempotency anti-join can never see it) and never
+    # be findable by any probe.
+    sh = docs.filter(
+        F.col("doc_id").isNotNull() & has_min_words(F.col(text_col))
+    ).select(
         F.col("doc_id"), word_shingles(F.col(text_col)).alias("sh")
     )
     return sh.select(
@@ -134,6 +141,7 @@ def build_minhash_index(spark: SparkSession, docs: DataFrame,
     params = {"num_hashes": num_hashes, "bands": bands,
               "hash_fn": hash_fn, "n_parts": n_parts}
     sigs = _sig_df(docs, text_col, num_hashes, hash_fn) \
+        .dropDuplicates(["doc_id"]) \
         .withColumn("sp", _sp(n_parts))
     (sigs.repartition(F.col("sp"))
          .write.mode("overwrite").partitionBy("sp")
@@ -317,7 +325,11 @@ def merge_minhash_index(spark: SparkSession, index_path: str,
             exclude.select(F.col("doc_id")).distinct(), "doc_id", "left_anti"
         )
 
+    # one row per doc even if the batch carries repeats (a re-crawled url
+    # in the same dump): two sig rows for one id would double its postings
+    # and break the postings == sigs × bands invariant
     sigs = _sig_df(docs, text_col, num_hashes, hash_fn) \
+        .dropDuplicates(["doc_id"]) \
         .withColumn("sp", _sp(n_parts)).persist()
     try:
         sp_touched = [r.sp for r in sigs.select("sp").distinct().collect()]

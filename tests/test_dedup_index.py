@@ -207,6 +207,8 @@ def test_incremental_probe_prunes_partitions(spark, sf_dir, tmp_path):
     pq_filter = next(f for f in m if "pq" in f)
     in_list = re.search(r"IN \(([^)]*)\)", pq_filter)
     assert in_list and in_list.group(1).count(",") < BANDS, pq_filter
+    # the sigs side prunes too (collision partners' sp values)
+    assert any(re.search(r"\bsp\b", f) for f in m), plan
 
 
 def test_probe_with_no_collisions_is_empty(spark, sf_dir, tmp_path):
@@ -317,3 +319,31 @@ def test_minhash_index_profile(spark, sf_dir, tmp_path):
         _df(spark, index_docs), num_hashes=NUM_HASHES, bands=BANDS
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_null_and_repeated_doc_ids_are_safe(spark, sf_dir, tmp_path):
+    """NULL doc_ids never enter the index (a NULL key is invisible to the
+    idempotency anti-join, so it would re-append on EVERY merge), and a
+    doc repeated within one batch indexes once — the postings ==
+    sigs × bands invariant survives both."""
+    idx_path = str(tmp_path / "mh_index")
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta " * 3)],
+        "doc_id long, text string",
+    )
+    build_minhash_index(spark, base, idx_path, num_hashes=NUM_HASHES,
+                        bands=BANDS, n_parts=N_PARTS)
+
+    dirty = spark.createDataFrame(
+        [(None, "null id text that is long enough to shingle fine"),
+         (7, "repeated doc body with plenty of words to shingle " * 2),
+         (7, "repeated doc body with plenty of words to shingle " * 2)],
+        "doc_id long, text string",
+    )
+    for _ in range(2):  # two merges: NULL must not accumulate either
+        merge_minhash_index(spark, idx_path, dirty)
+    sigs = spark.read.parquet(idx_path + "/sigs")
+    assert sigs.filter(F.col("doc_id").isNull()).count() == 0
+    assert sigs.count() == 2  # {1, 7}
+    assert (spark.read.parquet(idx_path + "/postings").count()
+            == 2 * BANDS)
