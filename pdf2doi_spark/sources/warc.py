@@ -35,24 +35,54 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 _CRLF2 = b"\r\n\r\n"
 
 
+_GZ_CHUNK = 1 << 20
+
+
+def _iter_gzip_spans(
+    data: bytes, want_payload: bool
+) -> Iterator[Tuple[int, int, Optional[bytes]]]:
+    """Walk the gzip members of ``data``, yielding ``(offset, consumed,
+    payload-or-None)`` per member. Members are fed to zlib in fixed-size
+    ``memoryview`` chunks: a ~1 GB CC archive holds ~10^5 members, and the
+    obvious ``d.decompress(data[pos:])`` form re-copies the whole
+    remaining tail (slice + ``unused_data``) per member — O(members ×
+    archive) memcpy, tens of TB for one archive. Chunked feeding copies
+    O(archive) total and bounds ``unused_data`` to one chunk.
+
+    A truncated trailing member is still yielded (partial payload, span to
+    end-of-data) — same behavior as a one-shot decompress, which returns
+    what it could without raising."""
+    mv = memoryview(data)
+    n = len(data)
+    pos = 0
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        out: List[bytes] = []
+        p = pos
+        try:
+            while p < n and not d.eof:
+                step = min(_GZ_CHUNK, n - p)
+                piece = d.decompress(mv[p:p + step])
+                p += step
+                if want_payload:
+                    out.append(piece)
+        except zlib.error:
+            return
+        consumed = (p - pos) - len(d.unused_data)
+        if consumed <= 0:
+            return
+        yield pos, consumed, (b"".join(out) if want_payload else None)
+        pos += consumed
+
+
 def _gzip_members(data: bytes) -> Iterator[bytes]:
     """Decompress each gzip member of ``data`` in turn (CC layout: one
     record per member). Non-gzip input yields itself once."""
     if not data[:2] == b"\x1f\x8b":
         yield data
         return
-    pos = 0
-    while pos < len(data):
-        d = zlib.decompressobj(wbits=31)
-        try:
-            member = d.decompress(data[pos:])
-        except zlib.error:
-            return
-        yield member
-        consumed = len(data) - pos - len(d.unused_data)
-        if consumed <= 0:
-            return
-        pos += consumed
+    for _off, _ln, payload in _iter_gzip_spans(data, want_payload=True):
+        yield payload if payload is not None else b""
 
 
 def _parse_headers(block: bytes) -> dict:
@@ -199,24 +229,15 @@ def index_warc_members(data: bytes) -> List[Tuple[int, int]]:
     archive — the sandbox stand-in for Common Crawl's published CDX
     indexes, whose records carry exactly these two fields per response.
 
-    Member accounting reuses _gzip_members' consumed-byte arithmetic
-    (zlib's unused_data); uncompressed archives are framed by the same
-    Content-Length walk the parser uses."""
+    Member accounting reuses the chunked ``_iter_gzip_spans`` walker
+    (bounded memcpy — see its docstring); uncompressed archives are framed
+    by the same Content-Length walk the parser uses."""
     spans: List[Tuple[int, int]] = []
     if data[:2] == b"\x1f\x8b":
-        pos = 0
-        while pos < len(data):
-            d = zlib.decompressobj(wbits=31)
-            try:
-                d.decompress(data[pos:])
-            except zlib.error:
-                break
-            consumed = len(data) - pos - len(d.unused_data)
-            if consumed <= 0:
-                break
-            spans.append((pos, consumed))
-            pos += consumed
-        return spans
+        return [
+            (off, ln)
+            for off, ln, _ in _iter_gzip_spans(data, want_payload=False)
+        ]
     offset = 0
     while True:
         start = data.find(b"WARC/", offset)

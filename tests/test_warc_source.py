@@ -175,3 +175,31 @@ def test_read_warc_indexed_rejects_remote_scheme_without_opener():
 
     with _pytest.raises(NotImplementedError, match="opener"):
         _open_range_local("s3a://bucket/key.warc.gz", 0, 10)
+
+
+def test_gzip_walker_chunked_feed_matches_one_shot(monkeypatch):
+    """The member walker feeds zlib in bounded chunks (the one-shot
+    data[pos:] form is O(members x archive) memcpy on real CC archives).
+    With a chunk far smaller than every member, spans and payloads must be
+    identical to the unchunked result, including a truncated trailing
+    member (yielded partial, span to end-of-data)."""
+    from pdf2doi_spark.sources import warc as w
+
+    recs = _many_records(8)
+    data = build_warc_bytes(recs, "member")
+    want_spans = w.index_warc_members(data)
+    want_payloads = list(w._gzip_members(data))
+
+    monkeypatch.setattr(w, "_GZ_CHUNK", 7)  # every member spans many chunks
+    assert w.index_warc_members(data) == want_spans
+    assert list(w._gzip_members(data)) == want_payloads
+    # parser end-to-end through the tiny-chunk walker
+    got = list(w.iter_warc_records(data))
+    assert [(u, b) for u, _t, b in got] == [(u, b) for u, _t, b in recs]
+    # truncated trailing member: partial payload still yielded, span
+    # covers the remaining bytes (one-shot decompress behaves the same)
+    cut = data[: want_spans[-1][0] + want_spans[-1][1] // 2]
+    spans_cut = w.index_warc_members(cut)
+    assert spans_cut[:-1] == want_spans[:-1]
+    assert spans_cut[-1] == (want_spans[-1][0],
+                             len(cut) - want_spans[-1][0])
