@@ -132,25 +132,58 @@ def _pq(n_parts: int):
     ).cast("int")
 
 
+def _read_index_table(spark: SparkSession, root: str, table: str,
+                      params: dict) -> DataFrame:
+    """Read ``sigs``/``postings`` with the schema captured at build time
+    (stored in ``_params``). An explicit schema makes a ZERO-ROW table
+    readable: a partitionBy write of an empty frame leaves only _SUCCESS,
+    and schema inference over that raises UNABLE_TO_INFER_SCHEMA — so an
+    index bootstrapped from a batch with no signaturable docs (all short /
+    NULL ids) would otherwise wedge every later probe and merge. Pre-schema
+    indexes (no stored schema) fall back to inference."""
+    schema_json = params.get(f"{table}_schema")
+    reader = spark.read
+    if schema_json is not None:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+    return reader.parquet(f"{root}/{table}")
+
+
 def build_minhash_index(spark: SparkSession, docs: DataFrame,
                         index_path: str, *, text_col: str = "text",
                         num_hashes: int = 12, bands: int = 4,
                         hash_fn: str = "md5", n_parts: int = 64) -> None:
     """Create the persisted index from an initial corpus (typically the
     survivors of a one-shot near-dup pass). Overwrites ``index_path``."""
-    params = {"num_hashes": num_hashes, "bands": bands,
-              "hash_fn": hash_fn, "n_parts": n_parts}
+    if bands <= 0 or num_hashes % bands != 0:
+        # same contract as dedup.minhash_bands: a remainder would silently
+        # drop trailing minhash components from every band for the LIFE of
+        # the persisted index (probe/merge replay the stored params, so
+        # nothing downstream could ever notice)
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into "
+            f"bands ({bands})"
+        )
     sigs = _sig_df(docs, text_col, num_hashes, hash_fn) \
         .dropDuplicates(["doc_id"]) \
         .withColumn("sp", _sp(n_parts))
     (sigs.repartition(F.col("sp"))
          .write.mode("overwrite").partitionBy("sp")
          .parquet(index_path.rstrip("/") + "/sigs"))
+    params = {"num_hashes": num_hashes, "bands": bands,
+              "hash_fn": hash_fn, "n_parts": n_parts,
+              # the build-time schemas make zero-row tables readable later
+              # (_read_index_table) — an empty corpus is a VALID index
+              "sigs_schema": sigs.schema.json()}
     # bands from the JUST-WRITTEN sigs: one signature pass total, and the
     # postings are derived from exactly the rows the sigs table stores
-    stored = spark.read.parquet(index_path.rstrip("/") + "/sigs")
+    stored = _read_index_table(
+        spark, index_path.rstrip("/"), "sigs", params
+    )
     posts = _bands_from_sigs(stored, num_hashes, bands, hash_fn) \
         .withColumn("pq", _pq(n_parts))
+    params["postings_schema"] = posts.schema.json()
     (posts.repartition(F.col("pq"))
           .write.mode("overwrite").partitionBy("pq")
           .parquet(index_path.rstrip("/") + "/postings"))
@@ -216,7 +249,7 @@ def incremental_near_dups(spark: SparkSession, index_path: str,
     touched = [r.pq for r in new_bands.select("pq").distinct().collect()]
 
     posts = _pruned(
-        spark.read.parquet(root + "/postings"), "pq", touched
+        _read_index_table(spark, root, "postings", p), "pq", touched
     )
     if max_bucket is not None:
         posts = cap_buckets(posts, ["band_idx", "band_hash"], max_bucket)
@@ -238,7 +271,7 @@ def incremental_near_dups(spark: SparkSession, index_path: str,
     # rename the historical side up front: unqualified column refs
     # after a chain of joins on like-named columns are ambiguous
     old_sigs = (
-        _pruned(spark.read.parquet(root + "/sigs"), "sp", sp_touched)
+        _pruned(_read_index_table(spark, root, "sigs", p), "sp", sp_touched)
         .join(old_ids.select("doc_id"), "doc_id", "left_semi")
         .select(F.col("doc_id").alias("_oid"),
                 *[F.col(f"mh{i}").alias(f"omh{i}")
@@ -334,7 +367,7 @@ def merge_minhash_index(spark: SparkSession, index_path: str,
     try:
         sp_touched = [r.sp for r in sigs.select("sp").distinct().collect()]
         existing = _pruned(
-            spark.read.parquet(root + "/sigs"), "sp", sp_touched
+            _read_index_table(spark, root, "sigs", p), "sp", sp_touched
         ).select("doc_id")
         # EAGER lineage cut, not persist(): fresh's plan reads the very
         # sigs path the first write appends to, and that write's commit
@@ -368,23 +401,38 @@ def compact_minhash_index(spark: SparkSession, index_path: str) -> None:
     partition holds up to K small files; scan cost and open-file overhead
     creep up with corpus age. Run this offline when file counts warrant
     (it is one full read+write of the index — the same cost as one
-    signature-free merge of the whole corpus). Values are untouched;
-    params are untouched. Via a .tmp swap because Spark (correctly)
-    refuses to overwrite a path it is reading from.
+    signature-free merge of the whole corpus). Values are untouched.
+    Via a .tmp swap because Spark (correctly) refuses to overwrite a path
+    it is reading from.
+
+    Crash safety: ``_params`` is REMOVED before the destructive rewrite
+    of the live tables and re-written only after both complete — a job
+    that dies mid-rewrite leaves an index that ``load_index_params``
+    REFUSES (loud), never one that probes read silently truncated (the
+    silent-missing-collisions failure the params guard exists for). The
+    ``.cmp`` copies survive such a crash for manual recovery.
     """
     from pdf2doi_spark.sources.io import _rmtree
 
-    load_index_params(spark, index_path)  # refuse half-built/missing index
+    p = load_index_params(spark, index_path)  # refuse half-built index
     root = index_path.rstrip("/")
+    params_raw = json.dumps(p)
+    tmps = {}
     for table, part_col in (("sigs", "sp"), ("postings", "pq")):
-        path = f"{root}/{table}"
-        tmp = f"{path}.cmp"
-        (spark.read.parquet(path)
-             .repartition(F.col(part_col))
+        tmp = f"{root}/{table}.cmp"
+        live = _read_index_table(spark, root, table, p)
+        (live.repartition(F.col(part_col))
              .write.mode("overwrite").partitionBy(part_col).parquet(tmp))
-        (spark.read.parquet(tmp)
+        tmps[table] = (tmp, part_col, live.schema)
+    # both compacted copies exist: mark the index incomplete, swap, re-mark
+    _rmtree(_params_path(index_path), spark)
+    for table, (tmp, part_col, schema) in tmps.items():
+        (spark.read.schema(schema).parquet(tmp)
              .repartition(F.col(part_col))
-             .write.mode("overwrite").partitionBy(part_col).parquet(path))
+             .write.mode("overwrite").partitionBy(part_col)
+             .parquet(f"{root}/{table}"))
+    _fs_write_small(spark, _params_path(index_path), params_raw)
+    for tmp, _pc, _s in tmps.values():
         _rmtree(tmp, spark)
 
 
@@ -398,6 +446,6 @@ def minhash_index_profile(spark: SparkSession, index_path: str) -> DataFrame:
     """
     from pdf2doi_spark.operators.dedup import bucket_histogram
 
-    load_index_params(spark, index_path)
-    posts = spark.read.parquet(index_path.rstrip("/") + "/postings")
+    p = load_index_params(spark, index_path)
+    posts = _read_index_table(spark, index_path.rstrip("/"), "postings", p)
     return bucket_histogram(posts, ["band_idx", "band_hash"])

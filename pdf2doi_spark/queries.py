@@ -994,6 +994,8 @@ def _q_incremental_near_dups():
     banding, index/batch collision arms, agreement estimate, best-match
     ranking) on the same split."""
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import hashlib
+        import os
         import tempfile
 
         from pdf2doi_spark.operators.dedup_index import (
@@ -1002,7 +1004,14 @@ def _q_incremental_near_dups():
         )
 
         docs = _docs(spark, sf_dir)
-        idx = tempfile.mkdtemp(prefix="pdf2doi_incr_idx_")
+        # deterministic per-input dir, NOT mkdtemp: build overwrites it,
+        # so repeated invocations (oracle family runs, bench repeats)
+        # reuse one index tree instead of leaking a copy per call
+        idx = os.path.join(
+            tempfile.gettempdir(),
+            "pdf2doi_incr_idx_"
+            + hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:12],
+        )
         build_minhash_index(
             spark, docs.filter(F.col("doc_id") % 3 != 0), idx
         )

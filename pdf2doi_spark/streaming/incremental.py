@@ -161,8 +161,16 @@ def run_stream_with_index_dedup(spark: SparkSession, landing_dir: str,
     ``_batch`` with dynamic overwrite (a retried batch replaces its own
     partition), and the index merge consumes the batch's WRITTEN
     partition; merge_minhash_index itself anti-joins already-indexed
-    doc_ids, so a replayed merge is a no-op. The first batch bootstraps
-    the index.
+    doc_ids, so a replayed merge is a no-op.
+
+    The first batch bootstraps an EMPTY index and then flows through the
+    same probe→write→merge path as every later batch — so batch 0's
+    intra-batch near-dups are flagged (source='batch') and excluded from
+    the index exactly like anyone else's, and a bootstrap retried after a
+    crash at ANY point replays to identical verdicts (probing an empty
+    index is deterministic; a batch-0-builds-the-full-index shape would
+    instead report different verdicts on retry, once its own docs were
+    already indexed).
     """
     from pyspark.sql import functions as F
 
@@ -181,18 +189,7 @@ def run_stream_with_index_dedup(spark: SparkSession, landing_dir: str,
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.select("doc_id", "text")
         if not fs_exists(spark, index_path.rstrip("/") + "/_params"):
-            build_minhash_index(spark, batch, index_path)
-            verdicts = batch.select(
-                "doc_id",
-                F.lit(None).cast("long").alias("dup_of"),
-                F.lit(None).cast("double").alias("est_jaccard"),
-                F.lit(None).cast("string").alias("source"),
-            )
-            (verdicts.withColumn("_batch", F.lit(int(batch_id)))
-                     .write.mode("overwrite")
-                     .option("partitionOverwriteMode", "dynamic")
-                     .partitionBy("_batch").parquet(f"{out_dir}/verdicts"))
-            return
+            build_minhash_index(spark, batch.limit(0), index_path)
         dups = incremental_near_dups(
             spark, index_path, batch, threshold=threshold
         )

@@ -347,3 +347,68 @@ def test_null_and_repeated_doc_ids_are_safe(spark, sf_dir, tmp_path):
     assert sigs.count() == 2  # {1, 7}
     assert (spark.read.parquet(idx_path + "/postings").count()
             == 2 * BANDS)
+
+
+def test_empty_corpus_index_full_lifecycle(spark, tmp_path):
+    """An index bootstrapped from a batch with NO signaturable docs (all
+    below the shingle minimum) must be a VALID empty index: build cannot
+    crash on the zero-file read-back, probes return only intra-batch
+    matches, and a later merge+probe round-trips. Without the build-time
+    schemas stored in _params, the empty partitionBy write leaves only
+    _SUCCESS and every later read dies in schema inference — wedging a
+    stream whose first micro-batch happened to be all-short docs."""
+    idx_path = str(tmp_path / "mh_empty_index")
+    empty = {1: "too short", 2: "tiny"}
+    build_minhash_index(spark, _df(spark, empty), idx_path,
+                        num_hashes=NUM_HASHES, bands=BANDS, n_parts=N_PARTS)
+    p = load_index_params(spark, idx_path)
+    assert "sigs_schema" in p and "postings_schema" in p
+
+    batch = {10: "alpha beta gamma " * 10, 11: "alpha beta gamma " * 10}
+    got = incremental_near_dups(
+        spark, idx_path, _df(spark, batch), threshold=0.5
+    ).collect()
+    assert [(r.doc_id, r.dup_of, r.source) for r in got] == [
+        (11, 10, "batch")
+    ]
+
+    merge_minhash_index(spark, idx_path, _df(spark, {10: batch[10]}))
+    got2 = incremental_near_dups(
+        spark, idx_path, _df(spark, {12: batch[10]}), threshold=0.5
+    ).collect()
+    assert [(r.doc_id, r.dup_of, r.source) for r in got2] == [
+        (12, 10, "index")
+    ]
+
+    from pdf2doi_spark.operators.dedup_index import minhash_index_profile
+
+    assert minhash_index_profile(spark, idx_path).count() >= 0
+
+
+def test_build_rejects_indivisible_bands(spark, tmp_path):
+    """Same contract as dedup.minhash_bands: a num_hashes % bands
+    remainder would silently drop trailing signature components from
+    every band for the life of the persisted index."""
+    with pytest.raises(ValueError, match="divide evenly"):
+        build_minhash_index(
+            spark, _df(spark, {1: "alpha beta gamma " * 5}),
+            str(tmp_path / "bad"), num_hashes=12, bands=5,
+        )
+
+
+def test_compact_preserves_params_exactly(spark, sf_dir, tmp_path):
+    """Compaction removes _params during the destructive table swap (a
+    crash mid-rewrite must leave a LOUDLY-refused index, not a silently
+    truncated one) and must restore it byte-identically afterwards."""
+    from pdf2doi_spark.operators.dedup_index import (
+        _params_path, compact_minhash_index,
+    )
+    from pdf2doi_spark.sources.io import _fs_read_small
+
+    index_docs, _ = _doc_maps(spark, sf_dir)
+    idx_path = str(tmp_path / "mh_index")
+    build_minhash_index(spark, _df(spark, index_docs), idx_path,
+                        num_hashes=NUM_HASHES, bands=BANDS, n_parts=N_PARTS)
+    before = _fs_read_small(spark, _params_path(idx_path))
+    compact_minhash_index(spark, idx_path)
+    assert _fs_read_small(spark, _params_path(idx_path)) == before

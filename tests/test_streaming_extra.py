@@ -189,9 +189,11 @@ def test_stream_kill_and_resume_exactly_once(spark, sf_dir, tmp_path):
 
 
 def test_stream_index_dedup_flags_cross_batch_dup(spark, tmp_path):
-    """Batch 0 bootstraps the index; a doc re-posted (and a near-copy) in a
-    LATER batch is flagged against the accumulated corpus; survivors join
-    the index so batch 2 sees batch 1's survivors too."""
+    """Batch 0 bootstraps an EMPTY index and runs the same probe path as
+    every later batch — its intra-batch dup is flagged and stays OUT of
+    the index; a doc re-posted (and a near-copy) in a LATER batch is
+    flagged against the accumulated corpus; survivors join the index so
+    batch 2 sees batch 1's survivors too."""
     from pdf2doi_spark.streaming.incremental import run_stream_with_index_dedup
 
     landing = tmp_path / "landing_idx"; landing.mkdir()
@@ -201,7 +203,8 @@ def test_stream_index_dedup_flags_cross_batch_dup(spark, tmp_path):
 
     base = "the quick brown fox jumps over the lazy dog again and again " * 4
     fresh = "completely different content about spark partitions and shuffles " * 4
-    spark.createDataFrame([(1, base), (2, fresh)], schema) \
+    # doc 3 is an exact intra-batch dup of doc 1 inside the BOOTSTRAP batch
+    spark.createDataFrame([(1, base), (2, fresh), (3, base)], schema) \
         .write.mode("append").parquet(str(landing))
     run_stream_with_index_dedup(spark, str(landing), out, index)
 
@@ -221,10 +224,11 @@ def test_stream_index_dedup_flags_cross_batch_dup(spark, tmp_path):
     v = spark.read.parquet(f"{out}/verdicts")
     rows = {r.doc_id: (r.dup_of, r.source) for r in v.collect()}
     assert rows[1] == (None, None) and rows[2] == (None, None)  # bootstrap
+    assert rows[3] == (1, "batch")  # batch-0 intra-batch dup IS flagged
     assert rows[10] == (1, "index")
     assert rows[11] == (None, None)
     assert rows[20] == (11, "index")
-    # index holds exactly the survivors
+    # index holds exactly the survivors (3 never entered)
     ids = {r.doc_id for r in
            spark.read.parquet(index + "/sigs").select("doc_id").collect()}
     assert ids == {1, 2, 11}
