@@ -7,8 +7,10 @@ dump already ingested — without re-signaturing the whole corpus per dump
 (operators/dedup_index.py). This example replays that cadence over the
 synthetic documents table:
 
-  dump 0   → build_minhash_index (the initial corpus)
-  dump 1.. → incremental_near_dups (probe: collisions vs the index AND
+  start    → build_minhash_index over ZERO docs (a valid empty index —
+             so every dump, including the first, runs the same path and
+             gets its intra-dump dups flagged)
+  dump 0.. → incremental_near_dups (probe: collisions vs the index AND
              within the dump), write the dump's survivors, then
              merge_minhash_index(exclude=dups) so the NEXT dump sees them
   finally  → compact_minhash_index (one file per partition again)
@@ -67,11 +69,10 @@ def main() -> None:
         def dump(i: int):
             return docs.filter(F.col("doc_id") % args.dumps == i)
 
-        build_minhash_index(spark, dump(0), args.index_dir)
-        n0 = dump(0).count()
-        print(json.dumps({"dump": 0, "docs": n0, "action": "build_index"}))
+        build_minhash_index(spark, docs.limit(0), args.index_dir)
+        print(json.dumps({"action": "build_empty_index"}))
 
-        for i in range(1, args.dumps):
+        for i in range(0, args.dumps):
             batch = dump(i)
             dups = incremental_near_dups(
                 spark, args.index_dir, batch, threshold=args.threshold

@@ -784,3 +784,38 @@ def contamination_overlap(train: DataFrame, evalset: DataFrame,
         .filter(F.col("overlap_frac") >= min_overlap_frac)
         .orderBy("train_doc_id", "eval_doc_id")
     )
+
+
+def latest_capture(df: DataFrame, keys: List[str],
+                   ts_col: str) -> DataFrame:
+    """CDX-style revisit resolution: one row per ``keys`` — the newest
+    capture by ``ts_col``, ties broken deterministically by the remaining
+    columns (descending, field order = input column order).
+
+    The Common-Crawl shape: the pages table carries every recrawl of a
+    url (reference processes each file once, main.py:222-260; a crawl
+    corpus re-observes the same url across dumps), and extraction wants
+    exactly one — the freshest — per url before the cascade runs.
+
+    Plan shape: ``groupBy(keys).agg(max(struct(ts, payload...)))`` — ONE
+    shuffle with map-side partial aggregation, so each task pre-reduces
+    its local recrawls and the exchange moves ~one row per key per task.
+    The window ``row_number`` form shuffles EVERY capture's full payload
+    (multi-MB html at crawl scale) and sorts it inside each group; at a
+    2-10x recrawl factor the partial-agg form moves proportionally less
+    data. NULL timestamps order lowest (struct comparison), so a NULL-ts
+    capture survives only when its key has no timestamped capture.
+    """
+    payload = [c for c in df.columns if c not in keys and c != ts_col]
+    struct_cols = [ts_col] + payload
+    missing = [c for c in keys if c not in df.columns]
+    if missing or ts_col not in df.columns:
+        raise ValueError(
+            f"latest_capture: missing columns {missing + ([ts_col] if ts_col not in df.columns else [])}"
+        )
+    agg = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.max(F.struct(*[F.col(c) for c in struct_cols])).alias("_m")
+    )
+    return agg.select(
+        *keys, *[F.col(f"_m.{c}").alias(c) for c in struct_cols]
+    )

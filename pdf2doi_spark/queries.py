@@ -2723,6 +2723,35 @@ def _q_tpch_q3():
     return q, sql
 
 
+def _q_latest_capture():
+    """CDX-style revisit resolution (dedup.latest_capture): newest row per
+    (user_id, event_type), ties broken by the remaining columns
+    descending. One partial-agg shuffle — max(struct) — instead of a
+    window sort over every capture's full payload; the SQL replays the
+    identical ordering contract (ts DESC NULLS LAST, then payload fields
+    DESC NULLS LAST in struct order)."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.dedup import latest_capture
+
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return latest_capture(
+            e, keys=["user_id", "event_type"], ts_col="ts"
+        ).orderBy("user_id", "event_type")
+
+    sql = """
+        SELECT user_id, event_type, ts, event_id, value, props
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST,
+                     value DESC NULLS LAST, props DESC NULLS LAST) AS rn
+          FROM events
+        ) WHERE rn = 1
+        ORDER BY user_id, event_type
+    """
+    return q, sql
+
+
 def _q_funnel():
     """Ordered funnel conversion over the events stream: per user, the
     earliest view, the earliest click strictly after it, the earliest
@@ -3085,6 +3114,7 @@ _BUILDERS = {
     "ngram_jaccard": _q_ngram_jaccard,
     "embedding_near_dups": _q_embedding_near_dups,
     "sessionize": _q_sessionize,
+    "latest_capture": _q_latest_capture,
     "topk_per_group": _q_topk_per_group,
     "funnel": _q_funnel,
     "tpch_q1": _q_tpch_q1,

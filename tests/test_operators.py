@@ -1722,3 +1722,45 @@ def test_build_session_respects_spark_submit_master(tmp_path):
     assert "SHUF=7" in out.stdout, out.stdout[-2000:]
     # ...while untouched defaults still apply
     assert "TZ=UTC" in out.stdout, out.stdout[-2000:]
+
+
+def test_latest_capture_semantics(spark):
+    """CDX-style revisit resolution: newest capture per key wins; NULL ts
+    survives only when the key has no dated capture; exact-ts ties break
+    deterministically on the payload (descending)."""
+    import datetime as dt
+
+    from pdf2doi_spark.operators.dedup import latest_capture
+
+    rows = [
+        ("u1", dt.datetime(2024, 1, 1), b"old"),
+        ("u1", dt.datetime(2024, 1, 2), b"new"),
+        ("u2", None, b"only-null"),
+        ("u3", None, b"null-loses"),
+        ("u3", dt.datetime(2024, 1, 1), b"dated"),
+        ("u4", dt.datetime(2024, 1, 1), b"aaa"),
+        ("u4", dt.datetime(2024, 1, 1), b"bbb"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    )
+    out = latest_capture(df, keys=["url"], ts_col="warc_ts")
+    assert out.columns == ["url", "warc_ts", "html"]
+    got = {r.url: (r.warc_ts, bytes(r.html)) for r in out.collect()}
+    assert got["u1"] == (dt.datetime(2024, 1, 2), b"new")
+    assert got["u2"] == (None, b"only-null")
+    assert got["u3"][1] == b"dated"
+    assert got["u4"][1] == b"bbb"  # ts tie -> larger payload, deterministic
+
+    # plan shape: partial-agg + ONE exchange, never a window sort over
+    # every capture's payload
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Window" not in final
+    # map-side partial_max BEFORE the one exchange: each task pre-reduces
+    # its recrawls, the shuffle moves ~one row per key per task
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "partial_max" in final.split("Exchange hashpartitioning")[1]
+
+    with pytest.raises(ValueError, match="missing columns"):
+        latest_capture(df, keys=["nope"], ts_col="warc_ts")
