@@ -62,6 +62,8 @@ HEADLINE = [
     "tpch_q3",
     "pack_sequences",
     "mixture_sample",
+    # round-4 additions
+    "latest_capture",
     # round-3 consolidated driver queries (the pre-consolidation names
     # above stay timed for cross-round comparability)
     "quality_suite",
