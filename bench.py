@@ -64,6 +64,7 @@ HEADLINE = [
     "mixture_sample",
     # round-4 additions
     "latest_capture",
+    "chunk_documents",
     # round-3 consolidated driver queries (the pre-consolidation names
     # above stay timed for cross-round comparability)
     "quality_suite",

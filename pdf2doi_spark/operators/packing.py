@@ -190,3 +190,64 @@ def mixture_sample(
         .filter(_hash_unit(key_col) < F.col("_keep_frac"))
         .drop("_keep_frac")
     )
+
+
+def chunk_documents(docs: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_tokens: int = 256,
+                    overlap: int = 32) -> DataFrame:
+    """Split long documents into overlapping token windows —
+    ``(doc_id, chunk_idx, chunk_text, n_tokens)`` — the step BEFORE
+    ``pack_sequences`` when documents exceed the training context length
+    (the reference processes whole files, main.py:222-260; context-length
+    chunking is training-pipeline mandate, not reference parity).
+
+    Windows are ``chunk_tokens`` whitespace tokens with ``overlap`` tokens
+    shared between neighbours (stride = chunk_tokens - overlap). A final
+    window that would contribute nothing but overlap is not emitted: a
+    start ``s > 0`` must satisfy ``s + overlap < n_tokens``. ``chunk_idx``
+    is ``s / stride`` — dense from 0 per document.
+
+    Scale shape: a pure narrow map + explode — ZERO shuffles. Each task
+    chunks its own documents; the output inherits the input partitioning,
+    so the downstream packing shuffle is the first exchange in the chain.
+    Tokenisation strips edge whitespace with an explicit regex
+    (``^\\s+|\\s+$``) rather than ``trim`` so the Java and oracle-side
+    splits agree on every edge case (space-only ``trim`` leaves ``\\n``
+    edges; Java ``split`` then drops trailing empty tokens while other
+    engines keep them).
+    """
+    stride = chunk_tokens - overlap
+    if chunk_tokens <= 0 or overlap < 0 or stride <= 0:
+        raise ValueError(
+            f"need 0 <= overlap ({overlap}) < chunk_tokens ({chunk_tokens})"
+        )
+    t = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
+    base = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), t.alias("_txt"))
+        .filter(F.length("_txt") > 0)  # whitespace-only docs chunk to nothing
+        .select(id_col, F.split(F.col("_txt"), r"\s+").alias("_t"))
+        .withColumn("_n", F.size("_t"))
+    )
+    starts = base.select(
+        id_col, "_t", "_n",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)),
+                       F.lit(stride))
+        ).alias("_s"),
+    )
+    return (
+        starts.filter(
+            (F.col("_s") == 0) | (F.col("_s") + F.lit(overlap) < F.col("_n"))
+        )
+        .select(
+            F.col(id_col),
+            (F.col("_s") / F.lit(stride)).cast("int").alias("chunk_idx"),
+            F.array_join(
+                F.slice(F.col("_t"), F.col("_s") + 1, F.lit(chunk_tokens)),
+                " ",
+            ).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_s"))
+            .cast("int").alias("n_tokens"),
+        )
+    )

@@ -2723,6 +2723,44 @@ def _q_tpch_q3():
     return q, sql
 
 
+def _q_chunk_documents():
+    """Context-length chunking (packing.chunk_documents): 64-token windows
+    with 16-token overlap over the documents table — zero-shuffle narrow
+    map + explode. The SQL replays the window arithmetic with range() +
+    list slicing; both sides strip edge whitespace with the same explicit
+    regex so the split semantics agree exactly."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.packing import chunk_documents
+
+        return chunk_documents(
+            _docs(spark, sf_dir), chunk_tokens=64, overlap=16
+        ).orderBy("doc_id", "chunk_idx")
+
+    sql = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(
+                   regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+          FROM documents
+          WHERE text IS NOT NULL
+            AND length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0
+        ), sized AS (
+          SELECT doc_id, t, len(t) AS n FROM toks
+        ), st AS (
+          SELECT doc_id, t, n, CAST(unnest(range(0, n, 48)) AS INT) AS s
+          FROM sized
+        )
+        SELECT doc_id,
+               CAST(s / 48 AS INT) AS chunk_idx,
+               array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text,
+               CAST(least(64, n - s) AS INT) AS n_tokens
+        FROM st
+        WHERE s = 0 OR s + 16 < n
+        ORDER BY doc_id, chunk_idx
+    """
+    return q, sql
+
+
 def _q_latest_capture():
     """CDX-style revisit resolution (dedup.latest_capture): newest row per
     (user_id, event_type), ties broken by the remaining columns
@@ -3115,6 +3153,7 @@ _BUILDERS = {
     "embedding_near_dups": _q_embedding_near_dups,
     "sessionize": _q_sessionize,
     "latest_capture": _q_latest_capture,
+    "chunk_documents": _q_chunk_documents,
     "topk_per_group": _q_topk_per_group,
     "funnel": _q_funnel,
     "tpch_q1": _q_tpch_q1,

@@ -1764,3 +1764,44 @@ def test_latest_capture_semantics(spark):
 
     with pytest.raises(ValueError, match="missing columns"):
         latest_capture(df, keys=["nope"], ts_col="warc_ts")
+
+
+def test_chunk_documents_semantics(spark):
+    """Overlapping token-window chunking: window arithmetic, the
+    no-pure-overlap tail rule, whitespace-only and NULL docs, and the
+    zero-shuffle plan."""
+    from pdf2doi_spark.operators.packing import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))  # w0..w9
+    rows = [
+        (1, words),
+        (2, "  \n\t  "),        # whitespace-only: no chunks
+        (3, None),               # NULL: no chunks
+        (4, "single"),           # one short chunk
+        (5, "\n a b \t"),        # edge whitespace stripped exactly
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=8, overlap=4)
+    got = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens)
+           for r in out.collect()}
+    # doc 1: n=10, stride=4 -> starts 0,4,8; s=8 is pure overlap (8+4>=10)
+    assert got[(1, 0)] == (" ".join(f"w{i}" for i in range(8)), 8)
+    assert got[(1, 1)] == (" ".join(f"w{i}" for i in range(4, 10)), 6)
+    assert (1, 2) not in got
+    assert got[(4, 0)] == ("single", 1)
+    assert got[(5, 0)] == ("a b", 2)
+    assert not any(d in (2, 3) for d, _ in got)
+
+    # chunks re-cover the document: stripping each chunk's fresh overlap
+    # reassembles the original token stream
+    c10 = [got[(1, i)][0].split(" ") for i in range(2)]
+    reassembled = c10[0] + c10[1][4:]
+    assert reassembled == words.split(" ")
+
+    # zero-shuffle narrow plan: no Exchange anywhere
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
