@@ -20,7 +20,9 @@ pre-training run does, documents → packed training sequences:
   6. mixture sampling — per-source token totals (one partial agg),
      keep-fractions broadcast back, membership a pure md5 function of
      doc_id (reproducible across runs/cluster sizes);
-  7. sequence packing — greedy token-budget packing inside bounded
+  7. context-length chunking of oversized docs (zero-shuffle windowing —
+     no over-budget singleton sequences reach the trainer), then
+     sequence packing — greedy token-budget packing inside bounded
      key-range bins (one shuffle into applyInPandas, no global window).
 
 Every stage is one of the repo's tested operators; this file only
@@ -87,7 +89,11 @@ def run_pipeline(
         jaccard_pairs,
         minhash_candidate_pairs,
     )
-    from pdf2doi_spark.operators.packing import mixture_sample, pack_sequences
+    from pdf2doi_spark.operators.packing import (
+        chunk_documents,
+        mixture_sample,
+        pack_sequences,
+    )
     from pdf2doi_spark.operators.quality import (
         hash_sample,
         norm_text,
@@ -160,11 +166,50 @@ def run_pipeline(
         StorageLevel.MEMORY_AND_DISK
     )
 
-    # -- 7. pack into training sequences --
+    # -- 7. context-length chunking of oversized docs, then packing --
+    # A doc longer than the budget used to own an OVER-BUDGET singleton
+    # sequence (pack_sequences' documented fallback) — useless to a
+    # trainer whose context IS the budget. Chunk those docs into
+    # budget-sized windows first (overlap=0: a partition of the token
+    # stream, no tokens double-counted), re-key chunks into the packing
+    # order space, and pack chunks and short docs together. The re-key
+    # arithmetic (doc_id * KEY_SPACE + chunk_idx) keeps packing
+    # deterministic and collision-free for doc_id < 2^63/KEY_SPACE and
+    # chunks-per-doc < KEY_SPACE — an overflowing chunk_idx maps to a
+    # NULL key, which pack_sequences already fails fast on (a pruned
+    # assert_true column would be silently optimized away; the NULL
+    # route cannot be). bin_size scales by KEY_SPACE so each bin still
+    # spans the same count of ORIGINAL documents.
+    _KEY_SPACE = 1_000_000
+    over = mixed.filter(F.col("n_tokens") > budget)
+    chunks = (
+        chunk_documents(over, chunk_tokens=budget, overlap=0,
+                        passthrough=["lang"])
+        .select(
+            F.when(
+                F.col("chunk_idx") < F.lit(_KEY_SPACE),
+                F.col("doc_id") * F.lit(_KEY_SPACE) + F.col("chunk_idx"),
+            ).alias("doc_id"),
+            "lang", "n_tokens",
+        )
+    )
+    short = mixed.filter(F.col("n_tokens") <= budget).select(
+        (F.col("doc_id") * F.lit(_KEY_SPACE)).alias("doc_id"),
+        "lang", "n_tokens",
+    )
+    n_over = over.count()
+    n_chunks = chunks.count()
     packed = pack_sequences(
-        mixed.select("doc_id", "lang", "n_tokens"),
+        short.unionByName(chunks),
         budget=budget, token_col="n_tokens", group_col="lang",
-        order_col="doc_id",
+        order_col="doc_id", bin_size=4096 * _KEY_SPACE,
+    )
+    # surface the provenance of every packed row: the original document
+    # and its window index
+    packed = packed.withColumn(
+        "src_doc_id", F.floor(F.col("doc_id") / F.lit(_KEY_SPACE)).cast("long")
+    ).withColumn(
+        "chunk_idx", F.pmod(F.col("doc_id"), F.lit(_KEY_SPACE)).cast("int")
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # Every WIDE pass runs exactly once (persisted at each multi-consumer
@@ -177,6 +222,8 @@ def run_pipeline(
         "near_dup_pruned": pruned.count(),
         "decontaminated": clean.count(),
         "mixture_sampled": mixed.count(),
+        "oversized_docs": n_over,
+        "context_chunks": n_chunks,
         "packed_docs": packed.count(),
         "targets": targets,
     }

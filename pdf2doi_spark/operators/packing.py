@@ -194,7 +194,8 @@ def mixture_sample(
 
 def chunk_documents(docs: DataFrame, *, text_col: str = "text",
                     id_col: str = "doc_id", chunk_tokens: int = 256,
-                    overlap: int = 32) -> DataFrame:
+                    overlap: int = 32,
+                    passthrough: Iterable[str] = ()) -> DataFrame:
     """Split long documents into overlapping token windows —
     ``(doc_id, chunk_idx, chunk_text, n_tokens)`` — the step BEFORE
     ``pack_sequences`` when documents exceed the training context length
@@ -221,16 +222,17 @@ def chunk_documents(docs: DataFrame, *, text_col: str = "text",
         raise ValueError(
             f"need 0 <= overlap ({overlap}) < chunk_tokens ({chunk_tokens})"
         )
+    extra = list(passthrough)
     t = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
     base = (
         docs.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col), t.alias("_txt"))
+        .select(F.col(id_col), *extra, t.alias("_txt"))
         .filter(F.length("_txt") > 0)  # whitespace-only docs chunk to nothing
-        .select(id_col, F.split(F.col("_txt"), r"\s+").alias("_t"))
+        .select(id_col, *extra, F.split(F.col("_txt"), r"\s+").alias("_t"))
         .withColumn("_n", F.size("_t"))
     )
     starts = base.select(
-        id_col, "_t", "_n",
+        id_col, *extra, "_t", "_n",
         F.explode(
             F.sequence(F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)),
                        F.lit(stride))
@@ -242,6 +244,7 @@ def chunk_documents(docs: DataFrame, *, text_col: str = "text",
         )
         .select(
             F.col(id_col),
+            *extra,
             (F.col("_s") / F.lit(stride)).cast("int").alias("chunk_idx"),
             F.array_join(
                 F.slice(F.col("_t"), F.col("_s") + 1, F.lit(chunk_tokens)),

@@ -22,7 +22,7 @@ _SPEC.loader.exec_module(train_pipeline)
 @pytest.fixture(scope="module")
 def pipeline_result(spark, sf_dir):
     packed, lineage, release = train_pipeline.run_pipeline(
-        spark, sf_dir, budget=256, eval_pct=1.0)
+        spark, sf_dir, budget=64, eval_pct=1.0)
     yield packed, lineage
     release()
 
@@ -39,29 +39,46 @@ def test_lineage_counts_are_monotone_and_nonvacuous(pipeline_result):
     assert lin["near_dup_pruned"] < lin["exact_deduped"], lin
     assert lin["decontaminated"] < lin["near_dup_pruned"], lin
     assert lin["mixture_sampled"] < lin["decontaminated"], lin
-    # packing is a reshape, never a filter: one output row per input doc
-    assert lin["packed_docs"] == lin["mixture_sampled"], lin
+    # packing is a reshape, never a filter: one output row per short doc
+    # plus one per context chunk of each oversized doc (and chunking must
+    # actually trigger at this budget, or the stage is testing nothing)
+    assert lin["oversized_docs"] > 0, lin
+    assert lin["context_chunks"] > lin["oversized_docs"], lin
+    assert lin["packed_docs"] == (
+        lin["mixture_sampled"] - lin["oversized_docs"] + lin["context_chunks"]
+    ), lin
 
 
 def test_packed_sequences_respect_budget(pipeline_result):
     packed, _ = pipeline_result
     over = (
         packed.groupBy("lang", "bin", "chunk_in_bin")
-        .agg(F.sum("n_tokens").alias("seq_tokens"),
-             F.count(F.lit(1)).alias("n_docs"))
-        # a single document longer than the budget legitimately owns an
-        # over-budget singleton sequence; any multi-doc sequence over
-        # budget is a packing bug
-        .filter((F.col("seq_tokens") > 256) & (F.col("n_docs") > 1))
+        .agg(F.sum("n_tokens").alias("seq_tokens"))
+        # with context chunking ahead of packing there is no longer any
+        # legitimate over-budget sequence: oversized docs were windowed
+        # to <= budget before packing, so ANY sequence over budget is a
+        # bug (round 4 dropped the old singleton exemption)
+        .filter(F.col("seq_tokens") > 64)
         .count()
     )
     assert over == 0
+    # provenance columns reassemble the original document: chunk_idx is
+    # dense from 0 per src_doc_id
+    from pyspark.sql import Window
+    w = Window.partitionBy("src_doc_id").orderBy("chunk_idx")
+    bad = (
+        packed.select("src_doc_id", "chunk_idx",
+                      F.row_number().over(w).alias("rn"))
+        .filter(F.col("chunk_idx") != F.col("rn") - 1)
+        .count()
+    )
+    assert bad == 0
 
 
 def test_pipeline_is_deterministic(spark, sf_dir, pipeline_result):
     packed, lineage = pipeline_result
     packed2, lineage2, release2 = train_pipeline.run_pipeline(
-        spark, sf_dir, budget=256, eval_pct=1.0)
+        spark, sf_dir, budget=64, eval_pct=1.0)
     try:
         assert lineage2 == lineage
         assert packed2.exceptAll(packed).count() == 0
@@ -78,6 +95,12 @@ def test_no_eval_contamination_survives(spark, sf_dir, pipeline_result):
 
     packed, _ = pipeline_result
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    survivors = docs.join(packed.select("doc_id").distinct(), "doc_id")
+    # packed doc_id is the composite packing key (src_doc_id * KEY_SPACE
+    # + chunk_idx) — join provenance on src_doc_id, or the join is vacuous
+    survivors = docs.join(
+        packed.select(F.col("src_doc_id").alias("doc_id")).distinct(),
+        "doc_id",
+    )
+    assert survivors.count() > 0  # non-vacuous by construction
     evalset = hash_sample(docs.select("doc_id", "text"), pct=1.0)
     assert contamination_overlap(survivors, evalset).count() == 0
