@@ -59,6 +59,21 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _decode_provenance(packed: DataFrame, key_space: int) -> DataFrame:
+    """src_doc_id/chunk_idx from the composite packing key with EXACT
+    64-bit integer arithmetic. ``floor(doc_id / key_space)`` routes
+    through double division and mis-rounds once the key exceeds a
+    double's 2^53 integer precision (doc_id 10_000_000_000 + chunk_idx
+    999_999 decodes to the WRONG source document); SQL ``div`` stays
+    integral all the way (the packing module's own bin arithmetic makes
+    the same choice, packing.py)."""
+    return packed.withColumn(
+        "src_doc_id", F.expr(f"doc_id div {int(key_space)}").cast("long")
+    ).withColumn(
+        "chunk_idx", F.pmod(F.col("doc_id"), F.lit(key_space)).cast("int")
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     sf_dir: str,
@@ -193,12 +208,16 @@ def run_pipeline(
             "lang", "n_tokens",
         )
     )
+    # NOTE the chunker recounts tokens with its own edge-strip split, so
+    # a doc whose pipeline n_tokens exceeds the budget only via phantom
+    # edge-whitespace tokens may legitimately produce a single chunk —
+    # the packed output is still correct (chunk n_tokens is what packing
+    # enforces), and the lineage below counts chunked-ness from the
+    # OUTPUT, so such a doc is not reported as oversized.
     short = mixed.filter(F.col("n_tokens") <= budget).select(
         (F.col("doc_id") * F.lit(_KEY_SPACE)).alias("doc_id"),
         "lang", "n_tokens",
     )
-    n_over = over.count()
-    n_chunks = chunks.count()
     packed = pack_sequences(
         short.unionByName(chunks),
         budget=budget, token_col="n_tokens", group_col="lang",
@@ -206,11 +225,21 @@ def run_pipeline(
     )
     # surface the provenance of every packed row: the original document
     # and its window index
-    packed = packed.withColumn(
-        "src_doc_id", F.floor(F.col("doc_id") / F.lit(_KEY_SPACE)).cast("long")
-    ).withColumn(
-        "chunk_idx", F.pmod(F.col("doc_id"), F.lit(_KEY_SPACE)).cast("int")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    packed = _decode_provenance(packed, _KEY_SPACE).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # lineage from the PERSISTED output — counting over/chunks on their
+    # own plans would re-run the tokenize+explode pass over every
+    # oversized doc a second time just to produce two numbers
+    prov = (
+        packed.groupBy("src_doc_id")
+        .agg(F.max("chunk_idx").alias("_mx"), F.count(F.lit(1)).alias("_k"))
+        .filter(F.col("_mx") > 0)
+        .agg(F.count(F.lit(1)).alias("n_over"), F.sum("_k").alias("n_chunks"))
+        .first()
+    )
+    n_over = int(prov["n_over"] or 0)
+    n_chunks = int(prov["n_chunks"] or 0)
 
     # Every WIDE pass runs exactly once (persisted at each multi-consumer
     # boundary: deduped, pruned, clean, mixed, packed); input_docs/

@@ -1004,14 +1004,18 @@ def _q_incremental_near_dups():
         )
 
         docs = _docs(spark, sf_dir)
-        # deterministic per-input dir, NOT mkdtemp: build overwrites it,
-        # so repeated invocations (oracle family runs, bench repeats)
-        # reuse one index tree instead of leaking a copy per call
-        idx = os.path.join(
-            tempfile.gettempdir(),
-            "pdf2doi_incr_idx_"
-            + hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:12],
-        )
+        # deterministic per-(input, user, process) dir, NOT mkdtemp:
+        # build overwrites it, so repeated invocations (oracle family
+        # runs, bench repeats) reuse one index tree instead of leaking a
+        # copy per call; the pid/user in the key keeps concurrent
+        # processes (bench beside pytest, two users on a shared host)
+        # from racing one tree — the overwrite of a tree another plan is
+        # mid-read would throw or silently drop collisions
+        tag = hashlib.md5(
+            f"{sf_dir}|{os.environ.get('USER', '')}|{os.getpid()}"
+            .encode("utf-8")
+        ).hexdigest()[:12]
+        idx = os.path.join(tempfile.gettempdir(), "pdf2doi_incr_idx_" + tag)
         build_minhash_index(
             spark, docs.filter(F.col("doc_id") % 3 != 0), idx
         )

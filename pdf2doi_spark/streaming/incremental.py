@@ -167,10 +167,16 @@ def run_stream_with_index_dedup(spark: SparkSession, landing_dir: str,
     same probe→write→merge path as every later batch — so batch 0's
     intra-batch near-dups are flagged (source='batch') and excluded from
     the index exactly like anyone else's, and a bootstrap retried after a
-    crash at ANY point replays to identical verdicts (probing an empty
-    index is deterministic; a batch-0-builds-the-full-index shape would
-    instead report different verdicts on retry, once its own docs were
-    already indexed).
+    crash BEFORE its merge replays to identical verdicts (probing an
+    empty index is deterministic; a batch-0-builds-the-full-index shape
+    would instead report different verdicts on any retry, once its own
+    docs were indexed). One residual asymmetry, shared by every batch,
+    not just the bootstrap: a crash AFTER merge_minhash_index but before
+    the streaming checkpoint commits replays the probe against the
+    now-merged index, so a pair first reported source='batch' can be
+    re-reported source='index' — dup_of, est_jaccard, and the index
+    contents are stable either way (the merge itself replays to a
+    no-op); only the source label upgrades.
     """
     from pyspark.sql import functions as F
 

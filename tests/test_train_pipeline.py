@@ -104,3 +104,25 @@ def test_no_eval_contamination_survives(spark, sf_dir, pipeline_result):
     assert survivors.count() > 0  # non-vacuous by construction
     evalset = hash_sample(docs.select("doc_id", "text"), pct=1.0)
     assert contamination_overlap(survivors, evalset).count() == 0
+
+
+def test_provenance_decode_is_exact_at_64bit(spark):
+    """floor(key / KEY_SPACE) routes through double division: at
+    doc_id=1e10, chunk_idx=999999 the composite key rounds to the next
+    million and decodes to the WRONG source document. The pipeline's
+    decoder must use integral div."""
+    key_space = 1_000_000
+    cases = [
+        (10_000_000_000, 999_999),   # the double-rounding trap
+        (9_000_000_000_000, 999_999),  # near the documented id bound
+        (0, 0),
+        (42, 7),
+    ]
+    df = spark.createDataFrame(
+        [(d * key_space + c,) for d, c in cases], "doc_id long"
+    )
+    got = {
+        (r.src_doc_id, r.chunk_idx)
+        for r in train_pipeline._decode_provenance(df, key_space).collect()
+    }
+    assert got == set(cases)
