@@ -1805,3 +1805,63 @@ def test_chunk_documents_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_chunk_documents_matches_python_replay(spark):
+    """Batch property check: chunk_documents over ~200 adversarial ASCII
+    texts (random whitespace runs, boundary lengths around the window
+    arithmetic) must equal an independent Python replay of the contract.
+    ASCII only: Python's \\s is unicode-aware while Java's defaults to
+    ASCII, and the operator's contract is Java semantics."""
+    import random
+    import re
+
+    from pdf2doi_spark.operators.packing import chunk_documents
+
+    CHUNK, OVERLAP = 8, 3
+    STRIDE = CHUNK - OVERLAP
+
+    def ref(text):
+        if text is None:
+            return []
+        t = re.sub(r"^\s+|\s+$", "", text)
+        if not t:
+            return []
+        toks = re.split(r"\s+", t)
+        out = []
+        for s in range(0, len(toks), STRIDE):
+            if s > 0 and s + OVERLAP >= len(toks):
+                continue
+            out.append((s // STRIDE, " ".join(toks[s:s + CHUNK]),
+                        min(CHUNK, len(toks) - s)))
+        return out
+
+    rng = random.Random(41)
+    ws = [" ", "\t", "\n", "\r", "  ", " \n "]
+    words = ["a", "bb", "ccc", "d0", "!?", "e-e", "ff.gg"]
+    rows = []
+    for i in range(200):
+        n = rng.choice([0, 1, 2, CHUNK - 1, CHUNK, CHUNK + 1,
+                        2 * STRIDE, 2 * STRIDE + OVERLAP,
+                        2 * STRIDE + OVERLAP + 1, rng.randrange(0, 40)])
+        body = "".join(
+            rng.choice(words) + rng.choice(ws) for _ in range(n)
+        )
+        pre = rng.choice(["", " ", "\n", "\t \n"])
+        rows.append((i, pre + body))
+    rows.append((900, None))
+    rows.append((901, "\n \t "))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+        for r in chunk_documents(
+            df, chunk_tokens=CHUNK, overlap=OVERLAP
+        ).collect()
+    )
+    want = sorted(
+        (d, idx, txt, n)
+        for d, t in rows
+        for idx, txt, n in ref(t)
+    )
+    assert got == want
