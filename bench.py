@@ -65,6 +65,7 @@ HEADLINE = [
     # round-4 additions
     "latest_capture",
     "chunk_documents",
+    "domain_curation",
     # round-3 consolidated driver queries (the pre-consolidation names
     # above stay timed for cross-round comparability)
     "quality_suite",

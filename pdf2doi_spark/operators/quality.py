@@ -456,3 +456,50 @@ def domain_size_profile(pages: DataFrame) -> DataFrame:
         F.length(F.col("html")).alias("n_bytes"),
     )
     return grouped_percentile_profile(sized, "domain", "n_bytes")
+
+
+def domain_curation(df: DataFrame, *, source_col: str = "source",
+                    text_col: str = "text",
+                    min_avg_quality: float = 0.5,
+                    max_dup_rate: float = 0.2) -> DataFrame:
+    """Per-source curation audit — the domain-level filtering step of
+    crawl curation (keep/block decisions in CC-style pipelines are made
+    per host/domain, not per page): doc count, mean quality score, mean
+    token count, exact-dup rate (1 - distinct fingerprints /
+    fingerprinted docs), and the keep verdict.
+
+    Plan shape: one shared projection (the fused quality + fingerprint
+    expressions — text never survives past it) then ONE aggregation on
+    ``source_col``. The single distinct aggregate plans as the standard
+    two-phase (source, fp) pre-aggregate, so a hot domain's shuffle rows
+    are bounded by its DISTINCT fingerprints, and every plain aggregate
+    pre-reduces map-side. A source whose docs all lack text keeps
+    ``dup_rate`` 0 and a ``false`` verdict (NULL-avg coalesced), never a
+    NULL row.
+    """
+    t = F.col(text_col)
+    proj = df.select(
+        F.col(source_col).alias("source"),
+        *quality_score_cols(t),
+        F.md5(norm_text(t)).alias("fp"),
+    )
+    agg = proj.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.count("fp").alias("_nfp"),
+        F.countDistinct("fp").alias("_dfp"),
+    )
+    dup = F.when(
+        F.col("_nfp") > 0,
+        F.round(F.lit(1.0) - F.col("_dfp") / F.col("_nfp"), 6),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "source", "n_docs", "avg_quality", "avg_tokens",
+        dup.alias("dup_rate"),
+        (
+            F.coalesce(F.col("avg_quality") >= F.lit(min_avg_quality),
+                       F.lit(False))
+            & (dup <= F.lit(max_dup_rate))
+        ).alias("keep"),
+    )

@@ -2727,6 +2727,59 @@ def _q_tpch_q3():
     return q, sql
 
 
+def _q_domain_curation():
+    """Domain-level curation audit (quality.domain_curation): per-source
+    doc count, mean quality, mean tokens, exact-dup rate, keep verdict —
+    one shared projection + ONE aggregation on source. The SQL replays
+    the per-doc quality kernel (same CTEs as the quality_score oracle),
+    the md5 fingerprint, and the aggregate arithmetic."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf2doi_spark.operators.quality import domain_curation
+
+        return domain_curation(_docs(spark, sf_dir)).orderBy("source")
+
+    sql = r"""
+        WITH t AS (
+          SELECT doc_id, source, text,
+                 CASE WHEN length(trim(text)) = 0 THEN []
+                      ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks,
+                 length(text) AS n_chars,
+                 length(text) - length(regexp_replace(text, '[\.,;:!\?\)\(]', '', 'g')) AS punct,
+                 length(regexp_replace(trim(text), '\s+', '', 'g')) AS nospace,
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          FROM documents
+        ), m AS (
+          SELECT source, fp, len(toks) AS n_tokens,
+                 CASE WHEN len(toks) > 0 THEN nospace * 1.0 / len(toks) ELSE 0.0 END AS mean_wl,
+                 CASE WHEN len(toks) > 0
+                      THEN len(list_filter(toks, x -> list_contains(['the','a','and','of','to'], x))) * 1.0 / len(toks)
+                      ELSE 0.0 END AS stop_ratio,
+                 CASE WHEN n_chars > 0 THEN punct * 1.0 / n_chars ELSE 0.0 END AS punct_ratio
+          FROM t
+        ), s AS (
+          SELECT source, fp, n_tokens,
+                 round((CASE WHEN n_tokens >= 10 AND mean_wl >= 2.0 AND mean_wl <= 12.0 THEN 0.5 ELSE 0.0 END)
+                     + (CASE WHEN stop_ratio > 0.01 THEN 0.3 ELSE 0.0 END)
+                     + (CASE WHEN punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END), 2) AS q
+          FROM m
+        ), g AS (
+          SELECT source, count(*) AS n_docs,
+                 round(avg(q), 6) AS avg_quality,
+                 round(avg(n_tokens), 6) AS avg_tokens,
+                 count(fp) AS nfp, count(DISTINCT fp) AS dfp
+          FROM s GROUP BY source
+        )
+        SELECT source, n_docs, avg_quality, avg_tokens,
+               CASE WHEN nfp > 0 THEN round(1.0 - dfp * 1.0 / nfp, 6)
+                    ELSE 0.0 END AS dup_rate,
+               (coalesce(avg_quality >= 0.5, false)
+                AND (CASE WHEN nfp > 0 THEN round(1.0 - dfp * 1.0 / nfp, 6)
+                          ELSE 0.0 END) <= 0.2) AS keep
+        FROM g ORDER BY source
+    """
+    return q, sql
+
+
 def _q_chunk_documents():
     """Context-length chunking (packing.chunk_documents): 64-token windows
     with 16-token overlap over the documents table — zero-shuffle narrow
@@ -3158,6 +3211,7 @@ _BUILDERS = {
     "sessionize": _q_sessionize,
     "latest_capture": _q_latest_capture,
     "chunk_documents": _q_chunk_documents,
+    "domain_curation": _q_domain_curation,
     "topk_per_group": _q_topk_per_group,
     "funnel": _q_funnel,
     "tpch_q1": _q_tpch_q1,

@@ -1865,3 +1865,35 @@ def test_chunk_documents_matches_python_replay(spark):
         for idx, txt, n in ref(t)
     )
     assert got == want
+
+
+def test_domain_curation_semantics(spark):
+    """Per-source curation verdicts: a boilerplate-heavy source fails on
+    dup_rate, a quality source passes, an all-NULL-text source gets a
+    false verdict and zero dup_rate (never a NULL row)."""
+    from pdf2doi_spark.operators.quality import domain_curation
+
+    good = ("the quick brown fox and the lazy dog of the north went "
+            "to a market of goods and told a story of the road. ")
+    rows = (
+        [(i, good + f"variant {i}", "srcA") for i in range(5)]
+        + [(10 + i, good, "srcB") for i in range(5)]   # 5 identical docs
+        + [(20, None, "srcC"), (21, None, "srcC")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = domain_curation(df)
+    got = {r.source: r.asDict() for r in out.collect()}
+
+    assert got["srcA"]["keep"] is True and got["srcA"]["dup_rate"] == 0.0
+    assert got["srcB"]["dup_rate"] == 0.8 and got["srcB"]["keep"] is False
+    # NULL text still scores the punct-ratio point (0.2 — the quality
+    # kernel's established NULL contract, oracle-pinned) but fails the
+    # keep threshold; fingerprints are NULL so dup_rate is 0, not NULL
+    assert got["srcC"]["n_docs"] == 2 and got["srcC"]["avg_quality"] == 0.2
+    assert got["srcC"]["dup_rate"] == 0.0 and got["srcC"]["keep"] is False
+
+    # plan: shared projection then aggregation — the distinct rewrite
+    # costs at most two exchanges, and text never crosses either
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") <= 2
