@@ -1897,3 +1897,40 @@ def test_domain_curation_semantics(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") <= 2
+
+
+def test_latest_capture_composes_with_extraction(spark):
+    """Crawl-shaped composition: a url recrawled with a DIFFERENT
+    identifier must extract the newest capture's DOI after revisit
+    resolution — latest_capture feeding the cascade kernel end-to-end."""
+    import datetime as dt
+
+    from pdf2doi_spark.operators.dedup import latest_capture
+    from pdf2doi_spark.operators.extract import extract_identifiers
+
+    def page(url, ts, doi):
+        html = (f"<html><body><p>See doi: {doi} for details, with body "
+                f"text long enough to score.</p></body></html>").encode()
+        return (url, ts, html, None, None)
+
+    rows = [
+        page("https://x.org/a", dt.datetime(2024, 1, 1), "10.1063/1.1111111"),
+        page("https://x.org/a", dt.datetime(2024, 3, 1), "10.1063/1.2222222"),
+        page("https://x.org/b", dt.datetime(2024, 2, 1), "10.1038/s41586-019-1666-5"),
+    ]
+    pages = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    fresh = latest_capture(pages, keys=["url"], ts_col="warc_ts")
+    assert fresh.count() == 2
+    got = {
+        r.url: r.identifier
+        for r in extract_identifiers(
+            fresh.select("url", "html", "text")
+        ).collect()
+    }
+    assert got == {
+        "https://x.org/a": "10.1063/1.2222222",  # newest capture wins
+        "https://x.org/b": "10.1038/s41586-019-1666-5",
+    }
