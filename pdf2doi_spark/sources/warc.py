@@ -371,3 +371,48 @@ def read_warc_indexed(spark: SparkSession, index: DataFrame,
         F.lit(None).cast("string").alias("text"),
         F.lit(None).cast("string").alias("lang"),
     )
+
+
+def read_cdx_index(spark: SparkSession, path: str, *,
+                   warc_base: str = "", glob: str = "*cdx*") -> DataFrame:
+    """Parse CDXJ index lines (Common Crawl's published per-crawl indexes
+    — ``cdx-NNNNN.gz``) into the ``(path, offset, length)`` member table
+    ``read_warc_indexed`` consumes, plus ``urlkey``/``capture_ts`` for
+    CDX-level filtering (scope a job to a host or crawl window WITHOUT
+    touching a single WARC byte — the index is ~1/1000th the archive).
+
+    Line shape: ``<urlkey> <yyyyMMddHHmmss> <json>`` where the json
+    carries ``filename``/``offset``/``length`` as STRINGS (CDXJ quirk).
+    Fully native: one ``from_json`` over the brace-onward tail, no UDF;
+    ``.gz`` decompression is Spark's codec layer. Malformed lines (no
+    json object, non-numeric offsets) yield NULLs and are dropped —
+    total, like every parser in this module. ``warc_base`` prefixes the
+    json's relative ``filename`` (CC publishes paths relative to the
+    data bucket root).
+    """
+    raw = (
+        spark.read.format("text")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    tail = F.expr("substring(value, instr(value, '{'))")
+    parsed = F.from_json(
+        tail, "filename string, offset string, length string"
+    )
+    toks = F.split(F.col("value"), " ")
+    out = raw.select(
+        toks.getItem(0).alias("urlkey"),
+        F.try_to_timestamp(toks.getItem(1), F.lit("yyyyMMddHHmmss"))
+        .alias("capture_ts"),
+        F.concat(F.lit(warc_base), parsed["filename"]).alias("path"),
+        # try_cast, not cast: under ANSI a single malformed index line
+        # ('offset': 'zz') would otherwise fail the whole scan — parsers
+        # in this module are total
+        parsed["offset"].try_cast("long").alias("offset"),
+        parsed["length"].try_cast("long").alias("length"),
+    )
+    return out.filter(
+        F.col("path").isNotNull()
+        & F.col("offset").isNotNull()
+        & F.col("length").isNotNull()
+    )

@@ -203,3 +203,60 @@ def test_gzip_walker_chunked_feed_matches_one_shot(monkeypatch):
     assert spans_cut[:-1] == want_spans[:-1]
     assert spans_cut[-1] == (want_spans[-1][0],
                              len(cut) - want_spans[-1][0])
+
+
+def test_read_cdx_index_feeds_indexed_reader(spark, tmp_path):
+    """The CC-realistic flow: a published CDXJ index file (gzipped text
+    lines, string-typed offsets, filename relative to a base) parses into
+    the member table, survives malformed lines, supports index-level
+    time filtering, and drives read_warc_indexed to rows identical to
+    read_warc."""
+    import gzip as _gzip
+    import json as _json
+
+    from pdf2doi_spark.sources.warc import (
+        build_warc_bytes, index_warc_members, read_cdx_index,
+        read_warc, read_warc_indexed,
+    )
+
+    recs = _many_records(8)
+    warc_dir = tmp_path / "warc"; warc_dir.mkdir()
+    data = build_warc_bytes(recs, "member")
+    (warc_dir / "crawl-00.warc.gz").write_bytes(data)
+    spans = index_warc_members(data)
+
+    lines = []
+    for (off, ln), (uri, ts, _b) in zip(spans, recs):
+        key = uri.split("//", 1)[1].replace("/", ")/", 1)
+        cdx_ts = ts.replace("-", "").replace(":", "").replace("T", "") \
+                   .replace("Z", "")
+        lines.append(f"{key} {cdx_ts} " + _json.dumps(
+            {"url": uri, "status": "200", "filename": "crawl-00.warc.gz",
+             "offset": str(off), "length": str(ln)}))
+    lines.append("broken line without json")
+    lines.append("key 20240101000000 {\"filename\": \"x\", \"offset\": \"zz\", \"length\": \"3\"}")
+    cdx_dir = tmp_path / "cdx"; cdx_dir.mkdir()
+    (cdx_dir / "cdx-00000.gz").write_bytes(
+        _gzip.compress(("\n".join(lines) + "\n").encode()))
+
+    idx = read_cdx_index(
+        spark, str(cdx_dir), warc_base=str(warc_dir) + "/")
+    rows = idx.collect()
+    assert len(rows) == 8  # both malformed lines dropped
+    assert all(r.capture_ts is not None and r.urlkey for r in rows)
+    assert sorted((r.offset, r.length) for r in rows) == sorted(spans)
+
+    got = read_warc_indexed(spark, idx.select("path", "offset", "length"))
+    want = read_warc(spark, str(warc_dir))
+    assert sorted(
+        (r.url, bytes(r.html)) for r in got.collect()
+    ) == sorted((r.url, bytes(r.html)) for r in want.collect())
+
+    # CDX-level scoping: drop half the crawl window without touching WARC
+    cutoff = sorted(r.capture_ts for r in rows)[4]
+    late = idx.filter(F.col("capture_ts") >= cutoff)
+    n_late = late.count()
+    assert 0 < n_late < 8
+    assert read_warc_indexed(
+        spark, late.select("path", "offset", "length")
+    ).count() == n_late
