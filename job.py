@@ -13,6 +13,13 @@ identifiers into the cache table, and writes the method/type audit
 metrics. Restarting with the same --output resumes: completed shards are
 skipped via the manifest.
 
+Common-Crawl archives can be ingested WITHOUT a pages table: pass
+``--cdx-index <dir-of-cdx files>`` (and ``--warc-base <prefix>`` if the
+index's filenames are bucket-relative) instead of ``--input`` — the
+published CDXJ index becomes the member table and tasks are byte ranges
+of the archives (sources/warc.py read_cdx_index + read_warc_indexed),
+so one 1 GB .warc.gz fans out across the cluster.
+
 Shard count guidance at scale: pick shards so one shard ≈ 1-4 GB of input
 (10^12 docs × ~100 KB ≈ 100 TB → ~65k shards); the partitioned write keeps
 each shard's lineage independent.
@@ -28,7 +35,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True)
+    ap.add_argument("--input", default=None,
+                    help="pages table (parquet/Iceberg), a directory of "
+                         "WARC or raw HTML files, or a single .warc[.gz]")
+    ap.add_argument("--cdx-index", default=None,
+                    help="CDXJ index files (CC's cdx-NNNNN.gz) — archives "
+                         "are range-read at member granularity; mutually "
+                         "exclusive with --input")
+    ap.add_argument("--warc-base", default="",
+                    help="prefix for the CDX index's relative filenames")
     ap.add_argument("--output", required=True)
     ap.add_argument("--cache", default=None)
     ap.add_argument("--shards", type=int, default=64)
@@ -45,11 +60,34 @@ def main() -> None:
         method_metrics,
         repartition_salted,
     )
-    from pdf2doi_spark.sources.io import merge_cache, read_pages, run_resumable
+    from pdf2doi_spark.sources.io import (
+        merge_cache,
+        resolve_pages_source,
+        run_resumable,
+    )
+
+    if bool(args.input) == bool(args.cdx_index):
+        ap.error("exactly one of --input / --cdx-index is required")
 
     spark = build_session(master=args.master, app_name="pdf2doi-extract")
     try:
-        pages = read_pages(spark, args.input)
+        if args.cdx_index:
+            from pdf2doi_spark.sources.warc import (
+                read_cdx_index,
+                read_warc_indexed,
+            )
+
+            idx = read_cdx_index(
+                spark, args.cdx_index, warc_base=args.warc_base
+            )
+            pages = read_warc_indexed(
+                spark, idx.select("path", "offset", "length")
+            )
+        else:
+            # the shared router (same one the CLI and library entry use):
+            # parquet dir, WARC file/dir, or raw-HTML dir all resolve to
+            # the pages shape
+            pages = resolve_pages_source(spark, args.input)
         if args.salt_partitions > 0:
             pages = repartition_salted(pages, args.salt_partitions)
 

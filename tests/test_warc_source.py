@@ -260,3 +260,60 @@ def test_read_cdx_index_feeds_indexed_reader(spark, tmp_path):
     assert read_warc_indexed(
         spark, late.select("path", "offset", "length")
     ).count() == n_late
+
+
+def test_job_entrypoint_ingests_cdx_index(tmp_path):
+    """The production entry point must run straight off CC-published
+    artifacts: --cdx-index (CDXJ lines) + --warc-base, no pages table —
+    member ranges feed the same resumable extraction as parquet input."""
+    import gzip as _gzip
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    from pdf2doi_spark.sources.warc import build_warc_bytes, index_warc_members
+
+    recs = _many_records(6)
+    # plant one extractable identifier so the hit path is non-vacuous
+    recs[0] = (recs[0][0], recs[0][1],
+               b"<html><body><p>See doi: 10.1063/1.2409490 here, "
+               b"with body text long enough to keep.</p></body></html>")
+    warc_dir = tmp_path / "warc"; warc_dir.mkdir()
+    data = build_warc_bytes(recs, "member")
+    (warc_dir / "crawl-00.warc.gz").write_bytes(data)
+    lines = [
+        f"key{i} 20240101000000 " + _json.dumps(
+            {"filename": "crawl-00.warc.gz",
+             "offset": str(off), "length": str(ln)})
+        for i, (off, ln) in enumerate(index_warc_members(data))
+    ]
+    cdx_dir = tmp_path / "cdx"; cdx_dir.mkdir()
+    (cdx_dir / "cdx-00000.gz").write_bytes(
+        _gzip.compress("\n".join(lines).encode()))
+
+    out = tmp_path / "run"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(repo, "job.py"),
+         "--cdx-index", str(cdx_dir), "--warc-base", str(warc_dir) + "/",
+         "--output", str(out), "--shards", "4", "--master", "local[2]"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    import glob as _glob
+
+    import duckdb
+
+    files = _glob.glob(str(out / "results" / "**" / "*.parquet"),
+                       recursive=True)
+    n = duckdb.sql(
+        f"SELECT count(*), count(identifier) FROM read_parquet({files!r})"
+    ).fetchone()
+    assert n[0] == 6 and n[1] >= 1  # all records extracted, some hits
+    # exactly one of --input / --cdx-index is enforced
+    bad = subprocess.run(
+        [_sys.executable, os.path.join(repo, "job.py"),
+         "--output", str(tmp_path / "run2")],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert bad.returncode != 0 and "exactly one of" in bad.stderr
