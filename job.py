@@ -44,6 +44,18 @@ def main() -> None:
                          "exclusive with --input")
     ap.add_argument("--warc-base", default="",
                     help="prefix for the CDX index's relative filenames")
+    ap.add_argument("--cdx-host", default=None,
+                    help="scope the CDX index to one host before any WARC "
+                         "byte is read: SURT urlkey prefix ('org,example') "
+                         "or plain hostname ('example.org')")
+    ap.add_argument("--cdx-from", default=None,
+                    help="inclusive capture_ts lower bound (CDX 14-digit "
+                         "'yyyyMMddHHmmss' or ISO-8601)")
+    ap.add_argument("--cdx-to", default=None,
+                    help="inclusive capture_ts upper bound (same formats)")
+    ap.add_argument("--skip-unreadable-ranges", action="store_true",
+                    help="skip+count unreadable WARC byte ranges instead "
+                         "of failing (only for known-stale CDX indexes)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--cache", default=None)
     ap.add_argument("--shards", type=int, default=64)
@@ -75,13 +87,23 @@ def main() -> None:
             from pdf2doi_spark.sources.warc import (
                 read_cdx_index,
                 read_warc_indexed,
+                scope_cdx_index,
             )
 
             idx = read_cdx_index(
                 spark, args.cdx_index, warc_base=args.warc_base
             )
+            if args.cdx_host or args.cdx_from or args.cdx_to:
+                idx = scope_cdx_index(
+                    idx, host=args.cdx_host,
+                    ts_from=args.cdx_from, ts_to=args.cdx_to,
+                )
+            # index-only count — the cheapest audit of the run's scope
+            # (~1/1000th of archive bytes; zero WARC bytes touched)
+            print(f"cdx members in scope: {idx.count()}")
             pages = read_warc_indexed(
-                spark, idx.select("path", "offset", "length")
+                spark, idx.select("path", "offset", "length"),
+                skip_unreadable=args.skip_unreadable_ranges,
             )
         else:
             # the shared router (same one the CLI and library entry use):

@@ -288,31 +288,91 @@ def build_warc_index(spark: SparkSession, path: str,
     return raw.mapInPandas(run, schema="path string, offset long, length long")
 
 
-def _open_range_local(path: str, start: int, length: int) -> bytes:
-    """Default byte-range opener: plain seek+read for local / ``file:``
-    paths (the executor-side analogue of an S3 Range GET). Production
-    swaps in an object-store opener via ``read_warc_indexed(opener=...)``
-    — e.g. ``lambda p, s, n: s3.get_object(Bucket=..., Key=p,
-    Range=f"bytes={s}-{s+n-1}")["Body"].read()``."""
-    local = path
-    if local.startswith("file://"):
-        local = local[len("file://"):]
-    elif local.startswith("file:"):
-        local = local[len("file:"):]
-    elif "://" in local:
+# Schemes the default opener serves. Plain/file paths use seek+read; the
+# rest resolve through pyarrow.fs.FileSystem.from_uri — the executor-side
+# analogue of the JVM Hadoop FileSystem. (Python workers hold no py4j
+# gateway, so Hadoop's own FSDataInputStream is unreachable inside
+# mapInPandas; Arrow's C++ filesystems are the standard Python-executor
+# lane and serve the stores CC actually lives on.) s3a/s3n are Hadoop
+# spellings of the same store pyarrow calls s3.
+_FS_SCHEME_ALIASES = {"s3a": "s3", "s3n": "s3", "gcs": "gs"}
+_FS_KNOWN_SCHEMES = {"", "file", "local", "s3", "gs", "hdfs", "viewfs"}
+_FS_CACHE: dict = {}  # (scheme, authority) -> pyarrow FileSystem, per worker
+
+
+def _split_scheme(path: str) -> Tuple[str, str]:
+    """(scheme, rest) — '' scheme for plain local paths. ``file:`` with a
+    single slash (Hadoop's LocalFileSystem spelling) is handled too."""
+    if path.startswith("file://"):
+        return "file", path[len("file://"):]
+    if path.startswith("file:"):
+        return "file", path[len("file:"):]
+    if "://" in path:
+        scheme, _, rest = path.partition("://")
+        return scheme.lower(), rest
+    return "", path
+
+
+def check_range_scheme(path: str) -> None:
+    """Driver-side preflight for the default opener: fail FAST (before a
+    single task launches) when the index's paths carry a scheme the
+    default opener cannot serve — the configuration error that would
+    otherwise surface only executor-side. Raises NotImplementedError."""
+    scheme, _ = _split_scheme(path)
+    scheme = _FS_SCHEME_ALIASES.get(scheme, scheme)
+    if scheme not in _FS_KNOWN_SCHEMES:
         raise NotImplementedError(
-            f"no byte-range opener for scheme of {path!r}: pass "
-            "read_warc_indexed(opener=...) wired to your object store's "
-            "range reads"
+            f"no default byte-range opener for scheme {scheme!r} of "
+            f"{path!r}: pass read_warc_indexed(opener=...) wired to your "
+            "store's range reads"
         )
-    with open(local, "rb") as f:
-        f.seek(start)
-        return f.read(length)
+
+
+def _open_range_default(path: str, start: int, length: int) -> bytes:
+    """Default byte-range opener (the executor-side analogue of an S3
+    Range GET). Local / ``file:`` paths are a plain seek+read; any other
+    scheme dispatches through ``pyarrow.fs.FileSystem.from_uri`` —
+    s3://, gs://, hdfs:// (libhdfs on Hadoop-provisioned workers) all
+    take the SAME code path the ``file://``-through-Arrow test pins.
+    Unknown schemes raise NotImplementedError (never silently skipped —
+    see ``read_warc_indexed``'s error contract). Custom stores:
+    ``read_warc_indexed(opener=lambda p, s, n: ...)``."""
+    scheme, rest = _split_scheme(path)
+    if scheme == "":
+        with open(rest, "rb") as f:
+            f.seek(start)
+            return f.read(length)
+    check_range_scheme(path)
+    import pyarrow.fs as pafs
+
+    scheme = _FS_SCHEME_ALIASES.get(scheme, scheme)
+    if scheme == "file":
+        # through the Arrow dispatch on purpose: file: URIs exercise the
+        # SAME code path as hdfs/s3 (what the test pins), not a shortcut
+        fs = _FS_CACHE.get(("file", ""))
+        if fs is None:
+            fs = pafs.LocalFileSystem()
+            _FS_CACHE[("file", "")] = fs
+        fpath = rest
+    else:
+        authority, _, tail = rest.partition("/")
+        key = (scheme, authority)
+        fs = _FS_CACHE.get(key)
+        if fs is None:
+            # one from_uri per (scheme, authority) per worker — S3 region
+            # resolution / HDFS connection happen once, not per range
+            fs, _ = pafs.FileSystem.from_uri(f"{scheme}://{rest}")
+            _FS_CACHE[key] = fs
+        # in-filesystem path: object stores (s3/gs) keep the bucket (it
+        # IS the authority); hdfs-likes drop the namenode authority
+        fpath = rest if scheme in ("s3", "gs") else "/" + tail
+    with fs.open_input_file(fpath) as f:
+        return f.read_at(length, start)
 
 
 def read_warc_indexed(spark: SparkSession, index: DataFrame,
                       target_split_bytes: int = 128 * 1024 * 1024,
-                      opener=None) -> DataFrame:
+                      opener=None, skip_unreadable: bool = False) -> DataFrame:
     """WARC archives → pages DataFrame via an offset index: tasks are
     MEMBER RANGES, not whole files, so one 1 GB ``.warc.gz`` fans out to
     ~``size/target_split_bytes`` parallel tasks instead of one
@@ -326,11 +386,33 @@ def read_warc_indexed(spark: SparkSession, index: DataFrame,
     contiguous byte range [min(offset), max(offset+length)). Per-record
     gzip members make any such range independently decompressible, which
     is the property that makes CC archives splittable at all. Each task
-    then range-reads its bytes (``opener``; local seek+read by default,
-    an object-store Range GET in production) and runs the SAME member
-    parser as ``read_warc``.
+    then range-reads its bytes (``opener``; ``_open_range_default`` —
+    local seek+read or an Arrow-FS Range GET for file/s3/gs/hdfs — when
+    None) and runs the SAME member parser as ``read_warc``.
+
+    Error contract: **range-read failures raise by default.** The member
+    PARSER is total (corrupt bytes inside a range parse to fewer records,
+    never an exception), so an exception here is the OPENER failing —
+    missing file, bad credentials, mis-pointed ``warc_base`` — i.e. a
+    configuration problem, and a silently-empty (then manifest-sealed)
+    result is the worst possible outcome for those. Unsupported schemes
+    additionally fail on the DRIVER before any task launches (one-row
+    sample of the index). ``skip_unreadable=True`` opts a run out for
+    known-stale indexes (CC indexes occasionally list since-removed
+    archives): failed ranges are then skipped, counted, and logged to
+    task stderr — except ``NotImplementedError``, which is always raised.
     """
-    rng = _open_range_local if opener is None else opener
+    rng = _open_range_default if opener is None else opener
+    if opener is None:
+        # driver-side preflight: one index row, scheme check only (no I/O)
+        sample = index.select("path").limit(1).collect()
+        if sample and sample[0]["path"]:
+            check_range_scheme(str(sample[0]["path"]))
+    spark = index.sparkSession
+    try:
+        n_tasks = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:  # e.g. "auto" under some AQE configs
+        n_tasks = spark.sparkContext.defaultParallelism * 2
     ranges = (
         index.withColumn(
             "bucket", (F.col("offset") / F.lit(int(target_split_bytes)))
@@ -342,26 +424,54 @@ def read_warc_indexed(spark: SparkSession, index: DataFrame,
             (F.max(F.col("offset") + F.col("length")) - F.min("offset"))
             .alias("n_bytes"),
         )
-        # spread ranges round-robin so many splits of ONE archive land on
-        # different tasks (the whole point); sort inside each partition so
-        # a task's reads of the same file are sequential
-        .repartition("path", "bucket")
+        # true round-robin spread (repartition(n), not a key hash — with
+        # few buckets a hash can co-locate several splits of ONE archive
+        # in one task, under-delivering the parallelism this reader
+        # exists for); sort inside each partition so a task's reads of
+        # the same file stay sequential
+        .repartition(n_tasks)
         .sortWithinPartitions("path", "start")
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys as _sys
+
+        n_ranges = n_failed = 0
+        first_err: Optional[Exception] = None
         for b in batches:
             urls, tss, bodies = [], [], []
             for p, start, n in zip(b["path"], b["start"], b["n_bytes"]):
+                n_ranges += 1
                 try:
                     payload = rng(str(p), int(start), int(n))
-                    for uri, ts, body in iter_warc_records(payload):
-                        urls.append(uri)
-                        tss.append(ts)
-                        bodies.append(body)
-                except Exception:
-                    continue  # unreadable range: skip, never fail the task
-            yield pd.DataFrame({"url": urls, "warc_ts": tss, "html": bodies})
+                except NotImplementedError:
+                    raise  # config error: no opener for this scheme
+                except Exception as e:
+                    if not skip_unreadable:
+                        raise RuntimeError(
+                            f"read_warc_indexed: range read failed for "
+                            f"{p!r} [{start}, +{n}) — opener failures are "
+                            "configuration errors by default; pass "
+                            "skip_unreadable=True only for known-stale "
+                            "indexes"
+                        ) from e
+                    n_failed += 1
+                    first_err = first_err or e
+                    continue
+                for uri, ts, body in iter_warc_records(payload):
+                    urls.append(uri)
+                    tss.append(ts)
+                    bodies.append(body)
+            if urls:  # empty frames infer float64 ts -> Arrow cast error
+                yield pd.DataFrame(
+                    {"url": urls, "warc_ts": tss, "html": bodies}
+                )
+        if n_failed:
+            print(
+                f"read_warc_indexed: skipped {n_failed}/{n_ranges} "
+                f"unreadable ranges in this task (first: {first_err!r})",
+                file=_sys.stderr,
+            )
 
     parsed = ranges.mapInPandas(
         run, schema="url string, warc_ts timestamp, html binary"
@@ -416,3 +526,51 @@ def read_cdx_index(spark: SparkSession, path: str, *,
         & F.col("offset").isNotNull()
         & F.col("length").isNotNull()
     )
+
+
+def _parse_cdx_ts(value: str):
+    """Accept CDX 14-digit timestamps (``yyyyMMddHHmmss``, CC's own CLI
+    convention — shorter digit prefixes are padded: '2024' → Jan 1 2024)
+    or any ISO-8601 string. Returns an aware UTC datetime."""
+    v = value.strip()
+    if v.isdigit() and len(v) <= 14:
+        v = v + "19700101000000"[len(v):]
+        return datetime.strptime(v, "%Y%m%d%H%M%S").replace(
+            tzinfo=timezone.utc
+        )
+    dt = datetime.fromisoformat(v.replace("Z", "+00:00"))
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.astimezone(timezone.utc)
+
+
+def scope_cdx_index(index: DataFrame, *, host: Optional[str] = None,
+                    ts_from: Optional[str] = None,
+                    ts_to: Optional[str] = None) -> DataFrame:
+    """Scope a ``read_cdx_index`` table BEFORE ``read_warc_indexed`` — the
+    cheapest pruning lever in the whole pipeline: the index is ~1/1000th
+    of the archive bytes, so a host- or window-scoped crawl job never
+    range-reads (or pays for) a single out-of-scope WARC byte.
+
+    ``host``: urlkey prefix in SURT form (``org,example``) or a plain
+    hostname (``example.org`` / ``www.example.org``), which is converted
+    to its SURT prefix. ``ts_from``/``ts_to``: inclusive ``capture_ts``
+    bounds, CDX 14-digit or ISO-8601 strings. All filters are native
+    column predicates — they push down to the index scan.
+    """
+    out = index
+    if host:
+        key = host.strip().lower()
+        if "," not in key:  # plain hostname → SURT: reverse the labels
+            # CC's urlkey canonicalization drops a leading www.
+            if key.startswith("www."):
+                key = key[len("www."):]
+            key = ",".join(reversed(key.strip(".").split(".")))
+        out = out.filter(F.col("urlkey").startswith(key))
+    if ts_from:
+        out = out.filter(
+            F.col("capture_ts") >= F.lit(_parse_cdx_ts(ts_from))
+        )
+    if ts_to:
+        out = out.filter(F.col("capture_ts") <= F.lit(_parse_cdx_ts(ts_to)))
+    return out

@@ -168,13 +168,70 @@ def test_read_warc_indexed_matches_read_warc_with_multiple_splits(spark, tmp_pat
     assert got.equals(want) and len(got) == 12
 
 
-def test_read_warc_indexed_rejects_remote_scheme_without_opener():
+def test_read_warc_indexed_rejects_unknown_scheme_without_opener(spark):
+    """ADVICE r4 (high): config errors must fail FAST — an unserveable
+    scheme raises on the DRIVER (one-row index sample) before a single
+    task launches, never a silently-empty result."""
     import pytest as _pytest
 
-    from pdf2doi_spark.sources.warc import _open_range_local
+    from pdf2doi_spark.sources.warc import (
+        _open_range_default, check_range_scheme, read_warc_indexed,
+    )
 
     with _pytest.raises(NotImplementedError, match="opener"):
-        _open_range_local("s3a://bucket/key.warc.gz", 0, 10)
+        _open_range_default("ftp://host/key.warc.gz", 0, 10)
+    # driver-side preflight: raises at CALL time, before any action
+    idx = spark.createDataFrame(
+        [("ftp://host/key.warc.gz", 0, 10)], "path string, offset long, length long"
+    )
+    with _pytest.raises(NotImplementedError, match="opener"):
+        read_warc_indexed(spark, idx)
+    # Hadoop spellings of stores the Arrow lane serves pass the check
+    for ok in ("s3a://bucket/k", "s3://bucket/k", "gs://b/k",
+               "hdfs://nn:8020/k", "file:///tmp/k", "/tmp/k"):
+        check_range_scheme(ok)
+
+
+def test_default_opener_file_uri_goes_through_arrow_fs(tmp_path, monkeypatch):
+    """The file: lane must exercise the SAME Arrow-FS dispatch as
+    hdfs/s3 (pafs open_input_file + read_at), not a local shortcut —
+    pinned by asserting the FS cache is populated by the read."""
+    from pdf2doi_spark.sources import warc as w
+
+    p = tmp_path / "blob.bin"
+    p.write_bytes(bytes(range(256)) * 4)
+    monkeypatch.setattr(w, "_FS_CACHE", {})
+    got = w._open_range_default(f"file://{p}", 100, 32)
+    assert got == (bytes(range(256)) * 4)[100:132]
+    assert ("file", "") in w._FS_CACHE  # went through the Arrow dispatch
+    # schemeless local path: plain seek+read, same bytes
+    assert w._open_range_default(str(p), 100, 32) == got
+
+
+def test_read_warc_indexed_range_failures_raise_by_default(spark, tmp_path):
+    """A readable scheme pointing at missing archives (the mis-pointed
+    --warc-base case) must raise, not seal an empty manifest; with
+    skip_unreadable=True the good ranges still flow and the bad are
+    skipped+counted."""
+    import pytest as _pytest
+
+    from pdf2doi_spark.sources.warc import (
+        build_warc_index, read_warc_indexed,
+    )
+
+    d = tmp_path / "warcs"; d.mkdir()
+    recs = _many_records(4)
+    (d / "ok.warc.gz").write_bytes(build_warc_bytes(recs, "member"))
+    index = build_warc_index(spark, str(d))
+    bad = spark.createDataFrame(
+        [(f"file://{tmp_path}/definitely-missing.warc.gz", 0, 100)],
+        "path string, offset long, length long",
+    )
+    both = index.unionByName(bad)
+    with _pytest.raises(Exception, match="configuration error"):
+        read_warc_indexed(spark, both).count()
+    got = read_warc_indexed(spark, both, skip_unreadable=True).toPandas()
+    assert sorted(got["url"]) == sorted(u for u, _t, _b in recs)
 
 
 def test_gzip_walker_chunked_feed_matches_one_shot(monkeypatch):
@@ -262,6 +319,42 @@ def test_read_cdx_index_feeds_indexed_reader(spark, tmp_path):
     ).count() == n_late
 
 
+def test_scope_cdx_index_host_and_window(spark):
+    """VERDICT r4 #2: CDX-level scoping — SURT prefix or plain hostname,
+    inclusive 14-digit/ISO timestamp bounds, all as native pushable
+    predicates over the index (zero WARC bytes touched)."""
+    from datetime import datetime, timezone
+
+    from pdf2doi_spark.sources.warc import _parse_cdx_ts, scope_cdx_index
+
+    rows = [
+        ("org,example)/a", datetime(2024, 1, 1, tzinfo=timezone.utc),
+         "w0", 0, 10),
+        ("org,example)/b", datetime(2024, 3, 1, tzinfo=timezone.utc),
+         "w0", 10, 10),
+        ("com,other)/x", datetime(2024, 2, 1, tzinfo=timezone.utc),
+         "w1", 0, 10),
+    ]
+    idx = spark.createDataFrame(
+        rows, "urlkey string, capture_ts timestamp, path string, "
+              "offset long, length long")
+    # SURT prefix and plain-hostname spellings scope identically
+    for host in ("org,example", "example.org", "www.example.org"):
+        got = scope_cdx_index(idx, host=host)
+        assert sorted(r.urlkey for r in got.collect()) == [
+            "org,example)/a", "org,example)/b"]
+    # 14-digit CDX bounds, inclusive; digit prefixes pad (2024 -> Jan 1)
+    got = scope_cdx_index(idx, ts_from="20240101000000", ts_to="20240201")
+    assert sorted(r.urlkey for r in got.collect()) == [
+        "com,other)/x", "org,example)/a"]
+    # ISO spelling + host composition
+    got = scope_cdx_index(idx, host="example.org",
+                          ts_from="2024-02-01T00:00:00Z")
+    assert [r.urlkey for r in got.collect()] == ["org,example)/b"]
+    assert _parse_cdx_ts("2024") == datetime(2024, 1, 1,
+                                             tzinfo=timezone.utc)
+
+
 def test_job_entrypoint_ingests_cdx_index(tmp_path):
     """The production entry point must run straight off CC-published
     artifacts: --cdx-index (CDXJ lines) + --warc-base, no pages table —
@@ -282,7 +375,7 @@ def test_job_entrypoint_ingests_cdx_index(tmp_path):
     data = build_warc_bytes(recs, "member")
     (warc_dir / "crawl-00.warc.gz").write_bytes(data)
     lines = [
-        f"key{i} 20240101000000 " + _json.dumps(
+        f"key{i})/p 202401{i+1:02d}000000 " + _json.dumps(
             {"filename": "crawl-00.warc.gz",
              "offset": str(off), "length": str(ln)})
         for i, (off, ln) in enumerate(index_warc_members(data))
@@ -310,6 +403,28 @@ def test_job_entrypoint_ingests_cdx_index(tmp_path):
         f"SELECT count(*), count(identifier) FROM read_parquet({files!r})"
     ).fetchone()
     assert n[0] == 6 and n[1] >= 1  # all records extracted, some hits
+    assert "cdx members in scope: 6" in proc.stdout
+
+    # scoped rerun (host prefix + capture window) reads FEWER members —
+    # pruned at the index, before a single WARC byte — and still hits
+    scoped_out = tmp_path / "run_scoped"
+    proc2 = subprocess.run(
+        [_sys.executable, os.path.join(repo, "job.py"),
+         "--cdx-index", str(cdx_dir), "--warc-base", str(warc_dir) + "/",
+         "--cdx-host", "key0", "--cdx-to", "20240115",
+         "--output", str(scoped_out), "--shards", "4",
+         "--master", "local[2]"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    assert "cdx members in scope: 1" in proc2.stdout
+    files2 = _glob.glob(str(scoped_out / "results" / "**" / "*.parquet"),
+                        recursive=True)
+    n2 = duckdb.sql(
+        f"SELECT count(*), count(identifier) FROM read_parquet({files2!r})"
+    ).fetchone()
+    assert n2[0] == 1 and n2[1] == 1  # key0 carries the planted DOI
+
     # exactly one of --input / --cdx-index is enforced
     bad = subprocess.run(
         [_sys.executable, os.path.join(repo, "job.py"),
