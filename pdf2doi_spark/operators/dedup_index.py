@@ -346,6 +346,17 @@ def merge_minhash_index(spark: SparkSession, index_path: str,
     key → at most one new file per touched partition per merge; compact
     with ``build_minhash_index`` over the full corpus when file counts
     warrant (one rewrite, offline).
+
+    Crash ordering (ADVICE r4): **postings are appended BEFORE sigs.**
+    Sigs is the idempotency key — a doc is "in the index" iff its sigs
+    row exists — so a job that dies between the two appends leaves only
+    orphan postings, and the retry (anti-join sees the doc as absent)
+    re-appends BOTH tables: the doc converges to findable, the duplicate
+    postings are harmless because every probe ``.distinct()``s its
+    collision pairs (they only inflate ``minhash_index_profile`` counts
+    until the next compaction rewrites them away). The reverse order had
+    a permanent-desync window: sigs committed ⇒ retry skips the doc ⇒ its
+    postings never exist ⇒ indexed but unfindable by every future probe.
     """
     p = load_index_params(spark, index_path)
     root = index_path.rstrip("/")
@@ -378,11 +389,10 @@ def merge_minhash_index(spark: SparkSession, index_path: str,
         # Caught by the xxhash64-lane test; checkpointing pins fresh to
         # the pre-append snapshot for both writes.
         fresh = _truncate_lineage(sigs.join(existing, "doc_id", "left_anti"))
-        (fresh.repartition(F.col("sp"))
-              .write.mode("append").partitionBy("sp")
-              .parquet(root + "/sigs"))
         # postings from the checkpointed fresh sigs: no second shingle
-        # pass, and the two tables cannot desync
+        # pass, and the two tables cannot desync. Written FIRST — see the
+        # crash-ordering note in the docstring (sigs commit marks the doc
+        # indexed, so it must be the LAST thing that happens).
         posts = (
             _bands_from_sigs(fresh, num_hashes, bands_n, hash_fn)
             .withColumn("pq", _pq(n_parts))
@@ -390,6 +400,9 @@ def merge_minhash_index(spark: SparkSession, index_path: str,
         (posts.repartition(F.col("pq"))
               .write.mode("append").partitionBy("pq")
               .parquet(root + "/postings"))
+        (fresh.repartition(F.col("sp"))
+              .write.mode("append").partitionBy("sp")
+              .parquet(root + "/sigs"))
     finally:
         sigs.unpersist()
 
@@ -406,13 +419,17 @@ def compact_minhash_index(spark: SparkSession, index_path: str) -> None:
     it is reading from.
 
     Crash safety: ``_params`` is REMOVED before the destructive rewrite
-    of the live tables and re-written only after both complete — a job
+    of the live tables and restored only after both complete — a job
     that dies mid-rewrite leaves an index that ``load_index_params``
     REFUSES (loud), never one that probes read silently truncated (the
     silent-missing-collisions failure the params guard exists for). The
-    ``.cmp`` copies survive such a crash for manual recovery.
+    restore is a RENAME of a ``_params.tmp`` staged BEFORE the
+    destructive section (VERDICT r4 #5): the only post-swap step is one
+    atomic metadata operation, so a crash can never leave a truncated /
+    half-written ``_params`` that reads as valid-but-wrong. The ``.cmp``
+    copies survive a mid-swap crash for manual recovery.
     """
-    from pdf2doi_spark.sources.io import _rmtree
+    from pdf2doi_spark.sources.io import _fs_rename, _rmtree
 
     p = load_index_params(spark, index_path)  # refuse half-built index
     root = index_path.rstrip("/")
@@ -424,6 +441,9 @@ def compact_minhash_index(spark: SparkSession, index_path: str) -> None:
         (live.repartition(F.col(part_col))
              .write.mode("overwrite").partitionBy(part_col).parquet(tmp))
         tmps[table] = (tmp, part_col, live.schema)
+    # stage the params restore BEFORE anything destructive happens
+    params_tmp = _params_path(index_path) + ".tmp"
+    _fs_write_small(spark, params_tmp, params_raw)
     # both compacted copies exist: mark the index incomplete, swap, re-mark
     _rmtree(_params_path(index_path), spark)
     for table, (tmp, part_col, schema) in tmps.items():
@@ -431,7 +451,7 @@ def compact_minhash_index(spark: SparkSession, index_path: str) -> None:
              .repartition(F.col(part_col))
              .write.mode("overwrite").partitionBy(part_col)
              .parquet(f"{root}/{table}"))
-    _fs_write_small(spark, _params_path(index_path), params_raw)
+    _fs_rename(spark, params_tmp, _params_path(index_path))
     for tmp, _pc, _s in tmps.values():
         _rmtree(tmp, spark)
 

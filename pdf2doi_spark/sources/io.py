@@ -88,6 +88,16 @@ def _fs_write_small(spark: SparkSession, path: str, content: str) -> None:
         out.close()
 
 
+def _fs_rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Atomic-on-a-filesystem rename (HDFS/local are atomic; object
+    stores degrade to copy+delete — still one visible switch of ``dst``).
+    Raises if the filesystem refuses (e.g. missing ``src``)."""
+    fs, hsrc = _fs(spark, src)
+    _, hdst = _fs(spark, dst)
+    if not fs.rename(hsrc, hdst):
+        raise IOError(f"rename {src!r} -> {dst!r} refused by filesystem")
+
+
 def _rmtree(path: str, spark: SparkSession = None) -> None:
     if spark is not None:
         fs, hp = _fs(spark, path)

@@ -412,3 +412,114 @@ def test_compact_preserves_params_exactly(spark, sf_dir, tmp_path):
     before = _fs_read_small(spark, _params_path(idx_path))
     compact_minhash_index(spark, idx_path)
     assert _fs_read_small(spark, _params_path(idx_path)) == before
+
+
+def test_merge_crash_between_appends_converges(spark, sf_dir, tmp_path,
+                                               monkeypatch):
+    """ADVICE r4 (medium): merge appends postings BEFORE sigs, so a crash
+    between the two leaves only orphan postings — the retry (sigs is the
+    idempotency key) re-appends both and the doc converges to findable,
+    with probe results identical to a never-crashed index (duplicate
+    postings are distinct()ed away by every probe)."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    index_docs, batch_docs = _doc_maps(spark, sf_dir)
+    idx_path = str(tmp_path / "mh_crash")
+    ref_path = str(tmp_path / "mh_ref")
+    for p in (idx_path, ref_path):
+        build_minhash_index(spark, _df(spark, index_docs), p,
+                            num_hashes=NUM_HASHES, bands=BANDS,
+                            n_parts=N_PARTS)
+
+    orig = DataFrameWriter.parquet
+    writes = []
+
+    def boom(self, path, *a, **k):
+        writes.append(path)
+        if path == idx_path + "/sigs":
+            raise RuntimeError("simulated crash between appends")
+        return orig(self, path, *a, **k)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        merge_minhash_index(spark, idx_path, _df(spark, batch_docs))
+    # write-order pin: postings attempted (and committed) before sigs
+    assert [p for p in writes if p.startswith(idx_path)] == [
+        idx_path + "/postings", idx_path + "/sigs"]
+    monkeypatch.setattr(DataFrameWriter, "parquet", orig)
+
+    # crash state: orphan postings exist, sigs do not know the batch
+    batch_ids = set(batch_docs)
+    sig_ids = {r.doc_id for r in
+               spark.read.parquet(idx_path + "/sigs").collect()}
+    post_ids = {r.doc_id for r in
+                spark.read.parquet(idx_path + "/postings").collect()}
+    assert not (batch_ids & sig_ids) and (batch_ids & post_ids)
+
+    # retry converges; reference index merges cleanly
+    merge_minhash_index(spark, idx_path, _df(spark, batch_docs))
+    merge_minhash_index(spark, ref_path, _df(spark, batch_docs))
+    dup_sigs = (
+        spark.read.parquet(idx_path + "/sigs")
+        .groupBy("doc_id").count().filter(F.col("count") > 1).count()
+    )
+    assert dup_sigs == 0  # each doc signatured exactly once
+
+    probe = {
+        999995: list(index_docs.values())[3],
+        999996: batch_docs[900003],
+    }
+    got = incremental_near_dups(
+        spark, idx_path, _df(spark, probe), threshold=0.5,
+        include_intra_batch=False,
+    ).collect()
+    want = incremental_near_dups(
+        spark, ref_path, _df(spark, probe), threshold=0.5,
+        include_intra_batch=False,
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert {r.doc_id for r in got} == {999995, 999996}
+
+
+def test_compact_crash_mid_swap_refuses_loudly(spark, sf_dir, tmp_path,
+                                               monkeypatch):
+    """VERDICT r4 #5: _params is staged to _params.tmp BEFORE the
+    destructive swap and RENAMED in afterwards — the happy path leaves no
+    .tmp behind, and a crash between the live-table rewrites leaves an
+    index every read refuses loudly (params absent), with the .cmp copies
+    and the staged params surviving for manual recovery."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from pdf2doi_spark.operators.dedup_index import (
+        _params_path, compact_minhash_index,
+    )
+    from pdf2doi_spark.sources.io import fs_exists
+
+    index_docs, _ = _doc_maps(spark, sf_dir)
+    idx_path = str(tmp_path / "mh_swap")
+    build_minhash_index(spark, _df(spark, index_docs), idx_path,
+                        num_hashes=NUM_HASHES, bands=BANDS, n_parts=N_PARTS)
+
+    # happy path: no staged file left behind
+    compact_minhash_index(spark, idx_path)
+    assert fs_exists(spark, _params_path(idx_path))
+    assert not fs_exists(spark, _params_path(idx_path) + ".tmp")
+
+    orig = DataFrameWriter.parquet
+
+    def boom(self, path, *a, **k):
+        if path == idx_path + "/postings":  # 2nd LIVE rewrite of the swap
+            raise RuntimeError("simulated crash mid-swap")
+        return orig(self, path, *a, **k)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_minhash_index(spark, idx_path)
+    monkeypatch.setattr(DataFrameWriter, "parquet", orig)
+
+    # loud refusal on every read path; recovery artifacts survive
+    with pytest.raises(ValueError, match="no minhash index"):
+        incremental_near_dups(
+            spark, idx_path, _df(spark, {1: "alpha beta gamma delta"}))
+    assert fs_exists(spark, _params_path(idx_path) + ".tmp")
+    assert fs_exists(spark, idx_path + "/postings.cmp")
