@@ -5,7 +5,13 @@
         --input  /path/to/pages_parquet_or_iceberg \
         --output /path/to/run_dir \
         [--cache /path/to/identifier_cache] \
-        [--shards 4096] [--no-arxiv2doi] [--salt-partitions 0]
+        [--shards 4096] [--no-arxiv2doi] [--salt-partitions 0] \
+        [--dedup-index /path/to/minhash_index]
+
+With ``--dedup-index``, each run (= one crawl dump) is probed against the
+persisted near-dup index of every prior dump, verdicts land in
+<output>/dups, and the dump's survivors are merged into the index — the
+rolling-crawl ingest loop behind one spark-submit flag.
 
 Reads a pages table (url, warc_ts, html, text, lang), runs the fused
 extraction cascade with per-shard checkpointed lineage, merges found
@@ -64,6 +70,13 @@ def main() -> None:
                          "(use when the upstream layout clusters by domain)")
     ap.add_argument("--no-arxiv2doi", action="store_true",
                     help="keep arXiv IDs (strict reference-offline parity)")
+    ap.add_argument("--dedup-index", default=None,
+                    help="persisted minhash near-dup index dir: probe this "
+                         "run's extracted text against every prior dump, "
+                         "write <output>/dups, merge survivors back in "
+                         "(bootstraps an empty index on first use)")
+    ap.add_argument("--dedup-threshold", type=float, default=0.5,
+                    help="signature-agreement threshold for --dedup-index")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -139,6 +152,60 @@ def main() -> None:
 
         if args.cache:
             merge_cache(spark, args.cache, results)
+
+        if args.dedup_index:
+            # Rolling-crawl near-dedup (VERDICT r4 #4): probe this dump's
+            # extracted text against the persisted index (= every prior
+            # dump's survivors), write the verdicts, merge the survivors.
+            # doc_id = xxhash64(url): deterministic across dumps, so a
+            # RECRAWL of the same url is the same doc (self-matches are
+            # excluded by the probe), not a near-dup of itself; at 10^12
+            # docs the 64-bit birthday bound leaves ~1e-8 of ids colliding
+            # — noise for an approximate dedup. Restart-safe: probing is
+            # read-only, the dups write overwrites, and the merge
+            # anti-joins already-indexed ids (replays to a no-op).
+            from pyspark.sql import functions as F
+
+            from pdf2doi_spark.operators.dedup_index import (
+                build_minhash_index,
+                incremental_near_dups,
+                merge_minhash_index,
+            )
+            from pdf2doi_spark.sources.io import fs_exists
+
+            docs = (
+                results.filter(F.col("extracted_text").isNotNull())
+                .select(F.xxhash64("url").alias("doc_id"),
+                        F.col("extracted_text").alias("text"), "url")
+            )
+            # durable checkpoint dir for the probe's lineage cuts (without
+            # one, _truncate_lineage falls back to localCheckpoint, whose
+            # blocks die with a lost executor mid-job)
+            if spark.sparkContext.getCheckpointDir() is None:
+                spark.sparkContext.setCheckpointDir(
+                    os.path.join(args.output, "_checkpoints"))
+            if not fs_exists(
+                spark, args.dedup_index.rstrip("/") + "/_params"
+            ):
+                # empty bootstrap, then the normal probe→merge path — same
+                # shape as streaming ingest (dump 1's intra-dump dups are
+                # flagged and excluded exactly like anyone else's)
+                build_minhash_index(spark, docs.limit(0), args.dedup_index,
+                                    hash_fn="xxhash64")
+            dups = incremental_near_dups(
+                spark, args.dedup_index, docs,
+                threshold=args.dedup_threshold,
+            )
+            dups_path = os.path.join(args.output, "dups")
+            (dups.join(docs.select("doc_id", "url"), "doc_id")
+                 .select("url", "doc_id", "dup_of", "est_jaccard", "source")
+                 .write.mode("overwrite").parquet(dups_path))
+            # merge excludes the WRITTEN verdicts (stable snapshot, the
+            # streaming sink's pattern — never the live probe plan)
+            written_dups = spark.read.parquet(dups_path)
+            merge_minhash_index(spark, args.dedup_index, docs,
+                                exclude=written_dups.select("doc_id"))
+            print(f"near-dups flagged: {written_dups.count()}")
 
         metrics_path = os.path.join(args.output, "metrics")
         method_metrics(results).write.mode("overwrite").parquet(metrics_path)
