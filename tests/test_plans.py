@@ -326,3 +326,89 @@ def test_line_dedup_plan_is_bounded(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_auto_blocklist_keeps_reused_exchange(spark):
+    """VERDICT r4 #3: auto_blocklist mechanizes the skew runbook — a
+    planted degenerate bucket (identical boilerplate on hundreds of docs)
+    is dropped by a broadcast anti-join BEFORE banding's window guard, so
+    the hot key never reaches a window buffer; the residual cap_buckets +
+    self-join still sit on ONE reused exchange (the anti-join is
+    broadcast, adding no shuffle); and the result is exactly what the
+    window-only guard would have produced."""
+    from pdf2doi_spark.operators.dedup import (
+        auto_blocklist,
+        cap_buckets,
+        minhash_bands,
+    )
+
+    normal = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text").filter(F.col("text").isNotNull())
+        .limit(80)
+    )
+    boiler = spark.range(100_000, 100_300).select(
+        F.col("id").alias("doc_id"),
+        F.lit("cookie banner accept all reject all privacy policy "
+              "terms of service all rights reserved").alias("text"),
+    )
+    docs = normal.unionByName(boiler)
+    keys = ["band_idx", "band_hash"]
+
+    bands = minhash_bands(docs)
+    filtered, blocked = auto_blocklist(bands, keys, max_bucket=50)
+    assert blocked, "planted degenerate bucket was not detected"
+    # the hot key never reaches the window: every surviving bucket is
+    # within the cap BEFORE any window buffers it
+    biggest = (
+        filtered.groupBy(*keys).count().agg(F.max("count")).collect()[0][0]
+    )
+    assert biggest <= 50
+    assert filtered.filter(F.col("doc_id") >= 100_000).count() == 0
+
+    def pairs(b):
+        left, right = b.alias("l"), b.alias("r")
+        return (
+            left.join(
+                right,
+                (F.col("l.band_idx") == F.col("r.band_idx"))
+                & (F.col("l.band_hash") == F.col("r.band_hash"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(F.col("l.doc_id").alias("doc_a"),
+                    F.col("r.doc_id").alias("doc_b"))
+            .distinct()
+        )
+
+    guarded = pairs(cap_buckets(filtered, keys, 50))
+    got = sorted(map(tuple, guarded.collect()))
+    # semantics pinned: identical to the window-only guard
+    want = sorted(map(tuple, pairs(cap_buckets(bands, keys, 50)).collect()))
+    assert got == want
+    # and the banded self-join still reuses ONE exchange
+    executed = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed
+    assert ("ReusedExchange" in executed) or ("ReusedQueryStage" in executed), (
+        executed[:2000]
+    )
+    # zero hot keys: the input comes back untouched (no join in the plan)
+    clean_bands = minhash_bands(normal)
+    same, none_blocked = auto_blocklist(clean_bands, keys, max_bucket=10_000)
+    assert none_blocked == [] and same is clean_bands
+
+
+def test_auto_blocklist_refuses_absurd_threshold(spark):
+    """More hot keys than max_keys means the threshold is below the
+    corpus's NORMAL bucket size — refused loudly, never a silent
+    mass-drop."""
+    from pdf2doi_spark.operators.dedup import auto_blocklist, minhash_bands
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text").filter(F.col("text").isNotNull())
+        .limit(60)
+    )
+    bands = minhash_bands(docs)
+    with pytest.raises(ValueError, match="not skew"):
+        auto_blocklist(bands, ["band_idx", "band_hash"],
+                       max_bucket=0, max_keys=5)
