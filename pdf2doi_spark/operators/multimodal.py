@@ -34,13 +34,85 @@ FEATURE_SCHEMA = "media_id long, kind string, n_bytes int, feature array<float>"
 _FEATURE_DIM = 16
 
 
-def decode_image(payload: bytes):
-    """Real decode hook — requires an image codec (PIL/opencv), which is
-    not available in this environment. STUB: see ``fake_decode``."""
-    raise NotImplementedError(
-        "image codecs are not installed in this container; "
-        "use fake_decode() for deterministic plumbing tests"
-    )
+def _ppm_header(data: bytes):
+    """Parse a P6 header: magic, then three whitespace-separated integers
+    (width, height, maxval), with ``#`` comments allowed between tokens
+    per the netpbm spec; exactly ONE whitespace byte separates the header
+    from the raster. Returns (width, height, maxval, raster_offset)."""
+    pos, toks = 2, []
+    while len(toks) < 3:
+        while pos < len(data) and data[pos:pos + 1].isspace():
+            pos += 1
+        if data[pos:pos + 1] == b"#":
+            nl = data.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("PPM: unterminated header comment")
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos:pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("PPM: truncated header")
+        toks.append(int(data[start:pos]))
+    return toks[0], toks[1], toks[2], pos + 1
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Real decode lane (VERDICT r4 #6): dependency-free binary-PPM (P6)
+    decoder — header parse + one ``np.frombuffer`` reshape, zero copies of
+    the raster beyond the output array. Returns ``(height, width, 3)``
+    uint8. Every OTHER format keeps the honest stub contract: codecs
+    (PIL/opencv) are not installed in this container, so non-PPM payloads
+    raise ``NotImplementedError`` (pipelines fall back to
+    ``fake_decode`` — see ``_decode_or_fake``). Corrupt PPMs raise
+    ``ValueError``."""
+    data = bytes(payload or b"")
+    if not data.startswith(b"P6"):
+        raise NotImplementedError(
+            "only binary PPM (P6) decodes without an image codec; "
+            "PIL/opencv are not installed in this container — "
+            "fake_decode() covers plumbing tests for other formats"
+        )
+    w, h, maxval, off = _ppm_header(data)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"PPM: degenerate dimensions {w}x{h}")
+    if not 0 < maxval < 256:
+        raise NotImplementedError(
+            f"PPM maxval {maxval}: 2-byte-per-sample rasters need a real "
+            "codec stack"
+        )
+    n = w * h * 3
+    raster = data[off:off + n]
+    if len(raster) < n:
+        raise ValueError(
+            f"PPM: raster truncated ({len(raster)} of {n} bytes)"
+        )
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(height, width, 3) uint8 → binary PPM bytes (writer/test helper —
+    the deterministic way to synthesize real decodable payloads with no
+    external data)."""
+    arr = np.ascontiguousarray(np.asarray(pixels, dtype=np.uint8))
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3), got {arr.shape}")
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def _decode_or_fake(payload: bytes) -> np.ndarray:
+    """Pipeline decode dispatch: the real PPM lane when the payload is
+    one, ``fake_decode`` pseudo-pixels otherwise (codec-less formats AND
+    corrupt rasters — one bad payload must never fail a task). Real
+    decodes come back flattened to grayscale float32 (mean over RGB), the
+    shape the downstream numpy kernels consume."""
+    try:
+        rgb = decode_image(payload)
+        return rgb.astype(np.float32).mean(axis=2).ravel()
+    except (NotImplementedError, ValueError):
+        return fake_decode(bytes(payload) if payload is not None else b"")
 
 
 def fake_decode(payload: bytes) -> np.ndarray:
@@ -84,14 +156,21 @@ def extract_features(media: DataFrame) -> DataFrame:
     """
     cols = media.select("media_id", "kind", "payload")
 
+    def pool(vec: np.ndarray) -> list:
+        # any-length pixel vector → _FEATURE_DIM mean-pooled buckets;
+        # a vector already at _FEATURE_DIM (the fake lane) pools to
+        # itself, so codec-less features are unchanged
+        if len(vec) >= _FEATURE_DIM:
+            cut = (len(vec) // _FEATURE_DIM) * _FEATURE_DIM
+            vec = vec[:cut].reshape(_FEATURE_DIM, -1).mean(axis=1)
+        else:
+            reps = int(np.ceil(_FEATURE_DIM / max(len(vec), 1)))
+            vec = np.tile(vec, reps)[:_FEATURE_DIM]
+        return (vec / 255.0).astype(np.float32).tolist()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            feats = [
-                (fake_decode(bytes(p) if p is not None else b"") / 255.0)
-                .astype(np.float32)
-                .tolist()
-                for p in b["payload"]
-            ]
+            feats = [pool(_decode_or_fake(p)) for p in b["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": b["media_id"],
@@ -110,12 +189,14 @@ RESIZE_SCHEMA = "media_id long, out_width int, out_height int, pixels array<floa
 def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
     """Batched image resize over opaque payloads.
 
-    The decode step is the stub (``fake_decode`` pseudo-pixels tiled to the
-    row's true ``width × height``); the resize itself is a REAL
-    nearest-neighbor resample (vectorized numpy index mapping) — exactly the
-    kernel a codec-equipped deployment would run after a real decode. The
-    metadata filter (``kind = 'image'`` and non-null dims) is native, so the
-    scan prunes non-image rows before any payload bytes move to Python.
+    PPM payloads take the REAL decode lane (``decode_image`` →
+    grayscale, the decoded dims overriding metadata — the payload is the
+    source of truth); other formats decode through the stub
+    (``fake_decode`` pseudo-pixels tiled to the row's ``width ×
+    height``). The resize itself is a REAL nearest-neighbor resample
+    (vectorized numpy index mapping) either way. The metadata filter
+    (``kind = 'image'`` and non-null dims) is native, so the scan prunes
+    non-image rows before any payload bytes move to Python.
     """
     # degenerate dims (0 or negative — corrupt-but-typed metadata) are
     # excluded natively: one bad row must never fail a task, and a
@@ -131,9 +212,13 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
             pixels = []
             for p, w, h in zip(b["payload"], b["width"], b["height"]):
                 w, h = int(w), int(h)
-                seed = fake_decode(bytes(p) if p is not None else b"")
-                reps = int(np.ceil(w * h / len(seed)))
-                src = np.tile(seed, reps)[: w * h].reshape(h, w)
+                try:
+                    src = decode_image(p).astype(np.float32).mean(axis=2)
+                    h, w = src.shape  # decoded dims beat metadata
+                except (NotImplementedError, ValueError):
+                    seed = fake_decode(bytes(p) if p is not None else b"")
+                    reps = int(np.ceil(w * h / len(seed)))
+                    src = np.tile(seed, reps)[: w * h].reshape(h, w)
                 ys = np.arange(out_h) * h // out_h
                 xs = np.arange(out_w) * w // out_w
                 dst = src[np.ix_(ys, xs)]
