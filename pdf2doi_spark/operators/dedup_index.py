@@ -230,6 +230,17 @@ def incremental_near_dups(spark: SparkSession, index_path: str,
     num_hashes, bands_n = p["num_hashes"], p["bands"]
     hash_fn, n_parts = p["hash_fn"], p["n_parts"]
     root = index_path.rstrip("/")
+    # the probe REPLAYS the stored params — log them so a red oracle row
+    # or a recall regression is diagnosable from the run output (the
+    # index's equivalent of queries._log_lsh_params, VERDICT r4 #8)
+    import logging
+
+    logging.getLogger("pdf2doi_spark").info(
+        "incremental_near_dups: index=%s hash_fn=%s num_hashes=%d "
+        "bands=%d rows_per_band=%d n_parts=%d threshold=%s",
+        index_path, hash_fn, num_hashes, bands_n,
+        num_hashes // bands_n, n_parts, threshold,
+    )
 
     # ONE signature pass for the batch, cut EAGERLY: new_sigs feeds the
     # probe plan through up to six branches (both collision arms twice,
