@@ -42,8 +42,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", default=None,
-                    help="pages table (parquet/Iceberg), a directory of "
-                         "WARC or raw HTML files, or a single .warc[.gz]")
+                    help="pages source: a parquet path, "
+                         "'table:<catalog.db.table>' (Iceberg or any "
+                         "catalog table via spark.read.table), a directory "
+                         "of WARC or raw HTML files, or a single "
+                         ".warc[.gz]")
     ap.add_argument("--cdx-index", default=None,
                     help="CDXJ index files (CC's cdx-NNNNN.gz) — archives "
                          "are range-read at member granularity; mutually "

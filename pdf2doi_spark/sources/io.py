@@ -517,12 +517,23 @@ def resolve_pages_source(spark: SparkSession, target: str,
     (shared by the library entry and the CLI so their behavior can never
     drift):
 
+    * ``table:<identifier>`` → catalog table scan via
+      ``spark.read.table`` — THE Iceberg lane: on a cluster with the
+      Iceberg runtime jar and a configured catalog
+      (``--conf spark.sql.catalog.cc=org.apache.iceberg.spark.SparkCatalog``
+      …), ``--input table:cc.crawl.pages`` reads the Iceberg pages table
+      with full partition pruning / snapshot semantics; the identifier
+      is explicit (never guessed from a path-looking string), and the
+      SAME code path serves plain managed/temp tables, which is how the
+      lane is pinned by tests in this jar-less sandbox;
     * a ``.warc`` / ``.warc.gz`` FILE (the normal Common Crawl unit) or a
       directory containing WARC archives → ``read_warc``;
     * a directory of parquet files → pages-table scan;
     * any other directory → raw-file (``binaryFile``) ingestion of ``glob``;
     * anything else → pages-table scan (parquet path).
     """
+    if target.startswith("table:"):
+        return spark.read.table(target[len("table:"):])
     low = target.rstrip("/").lower()
     if low.endswith(".warc") or low.endswith(".warc.gz"):
         from pdf2doi_spark.sources.warc import read_warc
