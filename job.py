@@ -170,11 +170,10 @@ def main() -> None:
             from pyspark.sql import functions as F
 
             from pdf2doi_spark.operators.dedup_index import (
-                build_minhash_index,
+                bootstrap_index_if_absent,
                 incremental_near_dups,
                 merge_minhash_index,
             )
-            from pdf2doi_spark.sources.io import fs_exists
 
             docs = (
                 results.filter(F.col("extracted_text").isNotNull())
@@ -187,27 +186,28 @@ def main() -> None:
             if spark.sparkContext.getCheckpointDir() is None:
                 spark.sparkContext.setCheckpointDir(
                     os.path.join(args.output, "_checkpoints"))
-            if not fs_exists(
-                spark, args.dedup_index.rstrip("/") + "/_params"
-            ):
-                # empty bootstrap, then the normal probe→merge path — same
-                # shape as streaming ingest (dump 1's intra-dump dups are
-                # flagged and excluded exactly like anyone else's)
-                build_minhash_index(spark, docs.limit(0), args.dedup_index,
-                                    hash_fn="xxhash64")
-            dups = incremental_near_dups(
+            # empty bootstrap iff genuinely absent (refuses a crashed-
+            # compaction dir), then the normal probe→merge path — dump
+            # 1's intra-dump dups are flagged and excluded exactly like
+            # anyone else's
+            bootstrap_index_if_absent(spark, args.dedup_index, docs,
+                                      hash_fn="xxhash64")
+            dups, batch_sigs = incremental_near_dups(
                 spark, args.dedup_index, docs,
-                threshold=args.dedup_threshold,
+                threshold=args.dedup_threshold, return_sigs=True,
             )
             dups_path = os.path.join(args.output, "dups")
             (dups.join(docs.select("doc_id", "url"), "doc_id")
                  .select("url", "doc_id", "dup_of", "est_jaccard", "source")
                  .write.mode("overwrite").parquet(dups_path))
             # merge excludes the WRITTEN verdicts (stable snapshot, the
-            # streaming sink's pattern — never the live probe plan)
+            # streaming sink's pattern — never the live probe plan) and
+            # reuses the probe's checkpointed signatures: ONE signature
+            # pass per dump, not two
             written_dups = spark.read.parquet(dups_path)
             merge_minhash_index(spark, args.dedup_index, docs,
-                                exclude=written_dups.select("doc_id"))
+                                exclude=written_dups.select("doc_id"),
+                                sigs=batch_sigs)
             print(f"near-dups flagged: {written_dups.count()}")
 
         metrics_path = os.path.join(args.output, "metrics")

@@ -192,6 +192,38 @@ def build_minhash_index(spark: SparkSession, docs: DataFrame,
     _fs_write_small(spark, _params_path(index_path), json.dumps(params))
 
 
+def bootstrap_index_if_absent(spark: SparkSession, index_path: str,
+                              like: DataFrame, **build_kwargs) -> bool:
+    """Create an EMPTY index at ``index_path`` iff nothing exists there;
+    returns True when it bootstrapped. The one check every ingest entry
+    point (job.py --dedup-index, the streaming sink) must share: testing
+    ``_params`` alone is NOT enough, because a crashed compaction leaves
+    a populated index dir with ``_params`` deliberately removed (the
+    loud-refusal marker) — an entry point that mistook that for "first
+    use" would overwrite every prior dump's survivors with an empty
+    index. A non-empty dir without ``_params`` is therefore REFUSED:
+    recover from the ``.cmp`` copies (see ``compact_minhash_index``) or
+    point at a fresh path.
+    """
+    if fs_exists(spark, _params_path(index_path)):
+        return False
+    root = index_path.rstrip("/")
+    if fs_exists(spark, root):
+        from pdf2doi_spark.sources.io import _fs_child_names
+
+        children = _fs_child_names(spark, root)
+        if children:
+            raise ValueError(
+                f"index dir {index_path!r} exists WITHOUT {_PARAMS_FILE} "
+                f"(contents: {sorted(children)[:5]}…) — that is a "
+                "crashed compaction's loud-refusal state, not a fresh "
+                "path; refusing to overwrite it with an empty index. "
+                "Recover from the .cmp copies or use a new path."
+            )
+    build_minhash_index(spark, like.limit(0), index_path, **build_kwargs)
+    return True
+
+
 def _pruned(table: DataFrame, part_col: str, values: List[int]) -> DataFrame:
     # isin over a bounded driver-side list (≤ n_parts ints) → partition
     # pruning at the parquet scan, the stored-IVF probe pattern
@@ -213,9 +245,15 @@ def incremental_near_dups(spark: SparkSession, index_path: str,
                           new_docs: DataFrame, *, text_col: str = "text",
                           threshold: float = 0.5,
                           max_bucket: Optional[int] = None,
-                          include_intra_batch: bool = True) -> DataFrame:
+                          include_intra_batch: bool = True,
+                          return_sigs: bool = False):
     """Near-dups of ``new_docs`` against the index (and, by default, among
     the batch itself): (doc_id, dup_of, est_jaccard, source).
+
+    ``return_sigs=True`` additionally returns the batch's checkpointed
+    signature frame as ``(pairs, sigs)`` — hand it to
+    ``merge_minhash_index(sigs=...)`` so the probe→merge ingest loop runs
+    the (dominant-cost) signature pass ONCE per dump instead of twice.
 
     ``est_jaccard`` is the signature-agreement estimate; ``source`` is
     ``'index'`` or ``'batch'``. Each new doc reports at most one row —
@@ -334,17 +372,19 @@ def incremental_near_dups(spark: SparkSession, index_path: str,
         F.col("source").desc(),
         F.col("dup_of").asc(),
     )
-    return (
+    out = (
         pairs.filter(F.col("est_jaccard") >= threshold)
         .withColumn("_rk", F.row_number().over(best))
         .filter(F.col("_rk") == 1)
         .drop("_rk")
     )
+    return (out, new_sigs) if return_sigs else out
 
 
 def merge_minhash_index(spark: SparkSession, index_path: str,
                         new_docs: DataFrame, *, text_col: str = "text",
-                        exclude: Optional[DataFrame] = None) -> None:
+                        exclude: Optional[DataFrame] = None,
+                        sigs: Optional[DataFrame] = None) -> None:
     """Append ``new_docs`` (minus ``exclude`` — typically the ``doc_id``
     column of ``incremental_near_dups``' result) to the index.
 
@@ -368,24 +408,55 @@ def merge_minhash_index(spark: SparkSession, index_path: str,
     until the next compaction rewrites them away). The reverse order had
     a permanent-desync window: sigs committed ⇒ retry skips the doc ⇒ its
     postings never exist ⇒ indexed but unfindable by every future probe.
+
+    ``sigs``: precomputed signature frame from
+    ``incremental_near_dups(return_sigs=True)`` **against this same
+    index** — reusing it makes the ingest loop's dominant cost (the
+    shingle+minhash pass) run once per dump instead of twice;
+    ``new_docs``/``text_col`` are then ignored. The column shape is
+    validated, but the hash_fn cannot be inferred from data: sigs from a
+    DIFFERENT index's params would silently corrupt recall, so only pass
+    what the probe of this index returned.
     """
     p = load_index_params(spark, index_path)
     root = index_path.rstrip("/")
     num_hashes, bands_n = p["num_hashes"], p["bands"]
     hash_fn, n_parts = p["hash_fn"], p["n_parts"]
 
-    docs = new_docs
-    if exclude is not None:
-        docs = docs.join(
-            exclude.select(F.col("doc_id")).distinct(), "doc_id", "left_anti"
+    if sigs is not None:
+        want = {"doc_id", *(f"mh{i}" for i in range(num_hashes))}
+        have = set(sigs.columns)
+        if not want <= have:
+            raise ValueError(
+                f"precomputed sigs missing columns {sorted(want - have)} "
+                f"for this index's num_hashes={num_hashes} — pass the "
+                "frame incremental_near_dups(return_sigs=True) returned "
+                "for THIS index"
+            )
+        base = sigs.select(
+            "doc_id", *(f"mh{i}" for i in range(num_hashes))
         )
+        if exclude is not None:
+            base = base.join(
+                exclude.select(F.col("doc_id")).distinct(),
+                "doc_id", "left_anti",
+            )
+        sigs = base.dropDuplicates(["doc_id"]) \
+            .withColumn("sp", _sp(n_parts)).persist()
+    else:
+        docs = new_docs
+        if exclude is not None:
+            docs = docs.join(
+                exclude.select(F.col("doc_id")).distinct(),
+                "doc_id", "left_anti",
+            )
 
-    # one row per doc even if the batch carries repeats (a re-crawled url
-    # in the same dump): two sig rows for one id would double its postings
-    # and break the postings == sigs × bands invariant
-    sigs = _sig_df(docs, text_col, num_hashes, hash_fn) \
-        .dropDuplicates(["doc_id"]) \
-        .withColumn("sp", _sp(n_parts)).persist()
+        # one row per doc even if the batch carries repeats (a re-crawled
+        # url in the same dump): two sig rows for one id would double its
+        # postings and break the postings == sigs × bands invariant
+        sigs = _sig_df(docs, text_col, num_hashes, hash_fn) \
+            .dropDuplicates(["doc_id"]) \
+            .withColumn("sp", _sp(n_parts)).persist()
     try:
         sp_touched = [r.sp for r in sigs.select("sp").distinct().collect()]
         existing = _pruned(

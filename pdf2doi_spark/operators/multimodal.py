@@ -198,34 +198,43 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
     (``kind = 'image'`` and non-null dims) is native, so the scan prunes
     non-image rows before any payload bytes move to Python.
     """
-    # degenerate dims (0 or negative — corrupt-but-typed metadata) are
-    # excluded natively: one bad row must never fail a task, and a
-    # zero-area resize has no defined output anyway
+    # degenerate dims (0/negative/NULL — corrupt-but-typed metadata) are
+    # excluded natively UNLESS the payload is self-describing (a PPM
+    # magic: the real decode lane recovers true dims from the bytes, so
+    # missing metadata must not hide a decodable image). One bad row
+    # must never fail a task; an undecodable row with no usable dims is
+    # skipped, never guessed.
     cols = media.filter(
         (F.col("kind") == "image")
-        & (F.col("width") > 0)
-        & (F.col("height") > 0)
+        & (
+            ((F.col("width") > 0) & (F.col("height") > 0))
+            | F.expr("substring(payload, 1, 2) = X'5036'")  # b'P6'
+        )
     ).select("media_id", "payload", "width", "height")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            pixels = []
-            for p, w, h in zip(b["payload"], b["width"], b["height"]):
-                w, h = int(w), int(h)
+            ids, pixels = [], []
+            for m, p, w, h in zip(b["media_id"], b["payload"],
+                                  b["width"], b["height"]):
                 try:
                     src = decode_image(p).astype(np.float32).mean(axis=2)
                     h, w = src.shape  # decoded dims beat metadata
                 except (NotImplementedError, ValueError):
+                    if pd.isna(w) or pd.isna(h) or int(w) <= 0 or int(h) <= 0:
+                        continue  # undecodable AND no usable dims
+                    w, h = int(w), int(h)
                     seed = fake_decode(bytes(p) if p is not None else b"")
                     reps = int(np.ceil(w * h / len(seed)))
                     src = np.tile(seed, reps)[: w * h].reshape(h, w)
                 ys = np.arange(out_h) * h // out_h
                 xs = np.arange(out_w) * w // out_w
                 dst = src[np.ix_(ys, xs)]
+                ids.append(m)
                 pixels.append((dst / 255.0).astype(np.float32).ravel().tolist())
             yield pd.DataFrame(
                 {
-                    "media_id": b["media_id"],
+                    "media_id": pd.Series(ids, dtype="int64"),
                     "out_width": out_w,
                     "out_height": out_h,
                     "pixels": pixels,

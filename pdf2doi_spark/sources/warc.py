@@ -296,7 +296,10 @@ def build_warc_index(spark: SparkSession, path: str,
 # lane and serve the stores CC actually lives on.) s3a/s3n are Hadoop
 # spellings of the same store pyarrow calls s3.
 _FS_SCHEME_ALIASES = {"s3a": "s3", "s3n": "s3", "gcs": "gs"}
-_FS_KNOWN_SCHEMES = {"", "file", "local", "s3", "gs", "hdfs", "viewfs"}
+# exactly the schemes from_uri dispatches ('local' is NOT one — pyarrow
+# rejects local:// URIs, so listing it here would pass the driver
+# preflight and then fail every range executor-side)
+_FS_KNOWN_SCHEMES = {"", "file", "s3", "gs", "hdfs", "viewfs"}
 _FS_CACHE: dict = {}  # (scheme, authority) -> pyarrow FileSystem, per worker
 
 
@@ -404,7 +407,13 @@ def read_warc_indexed(spark: SparkSession, index: DataFrame,
     """
     rng = _open_range_default if opener is None else opener
     if opener is None:
-        # driver-side preflight: one index row, scheme check only (no I/O)
+        # driver-side preflight: ONE index row, scheme string check only.
+        # The limit(1).collect() does execute the index plan — trivial
+        # for CDX text indexes (the production shape); for an index
+        # derived live from build_warc_index it re-parses one archive,
+        # the price of failing a misconfigured job before 10^5 tasks
+        # launch. Mixed-scheme indexes whose FIRST row is fine are still
+        # caught executor-side (NotImplementedError is always re-raised).
         sample = index.select("path").limit(1).collect()
         if sample and sample[0]["path"]:
             check_range_scheme(str(sample[0]["path"]))
@@ -528,20 +537,52 @@ def read_cdx_index(spark: SparkSession, path: str, *,
     )
 
 
-def _parse_cdx_ts(value: str):
+def _parse_cdx_ts(value: str, *, round_up: bool = False):
     """Accept CDX 14-digit timestamps (``yyyyMMddHHmmss``, CC's own CLI
-    convention — shorter digit prefixes are padded: '2024' → Jan 1 2024)
-    or any ISO-8601 string. Returns an aware UTC datetime."""
+    convention) or ISO-8601 strings.
+
+    Shorter digit prefixes are windows, not instants (pywb/cdx-toolkit
+    convention): as a FROM bound '2024' means Jan 1 2024 00:00:00; as a
+    TO bound (``round_up=True``) it means the END of 2024 — the last
+    representable second of the stated unit — so ``--cdx-from 20240615
+    --cdx-to 20240615`` covers the whole day, not just midnight.
+
+    Digit and tz-less ISO forms return NAIVE datetimes on purpose:
+    ``read_cdx_index`` parses ``capture_ts`` with ``try_to_timestamp``
+    (session timezone), so the bound must be interpreted in the SAME
+    zone or the window shifts by the session offset whenever
+    ``spark.sql.session.timeZone`` is overridden away from UTC. An ISO
+    string with an explicit offset/Z stays aware (the user stated a
+    zone)."""
     v = value.strip()
     if v.isdigit() and len(v) <= 14:
-        v = v + "19700101000000"[len(v):]
-        return datetime.strptime(v, "%Y%m%d%H%M%S").replace(
-            tzinfo=timezone.utc
+        if not round_up:
+            return datetime.strptime(
+                v + "19700101000000"[len(v):], "%Y%m%d%H%M%S"
+            )
+        # upper bound: take the unit's start, add one unit, subtract 1 s
+        from datetime import timedelta
+
+        lo = datetime.strptime(
+            v + "19700101000000"[len(v):], "%Y%m%d%H%M%S"
         )
+        n = len(v)
+        if n <= 4:
+            hi = lo.replace(year=lo.year + 1)
+        elif n <= 6:
+            hi = (lo.replace(year=lo.year + 1, month=1)
+                  if lo.month == 12 else lo.replace(month=lo.month + 1))
+        elif n <= 8:
+            hi = lo + timedelta(days=1)
+        elif n <= 10:
+            hi = lo + timedelta(hours=1)
+        elif n <= 12:
+            hi = lo + timedelta(minutes=1)
+        else:
+            hi = lo + timedelta(seconds=1)
+        return hi - timedelta(seconds=1)
     dt = datetime.fromisoformat(v.replace("Z", "+00:00"))
-    if dt.tzinfo is None:
-        dt = dt.replace(tzinfo=timezone.utc)
-    return dt.astimezone(timezone.utc)
+    return dt  # aware iff the user wrote an offset/Z
 
 
 def scope_cdx_index(index: DataFrame, *, host: Optional[str] = None,
@@ -552,11 +593,17 @@ def scope_cdx_index(index: DataFrame, *, host: Optional[str] = None,
     of the archive bytes, so a host- or window-scoped crawl job never
     range-reads (or pays for) a single out-of-scope WARC byte.
 
-    ``host``: urlkey prefix in SURT form (``org,example``) or a plain
-    hostname (``example.org`` / ``www.example.org``), which is converted
-    to its SURT prefix. ``ts_from``/``ts_to``: inclusive ``capture_ts``
-    bounds, CDX 14-digit or ISO-8601 strings. All filters are native
-    column predicates — they push down to the index scan.
+    ``host``: a host in SURT form (``org,example``) or a plain hostname
+    (``example.org`` / ``www.example.org``), matched AT A SURT BOUNDARY —
+    ``org,example)`` (the host itself) or ``org,example,`` (its
+    subdomains) — never as a bare prefix, which would also match
+    unrelated domains that merely extend the name
+    (``org,exampleshop)/…``). ``ts_from``/``ts_to``: inclusive
+    ``capture_ts`` bounds, CDX 14-digit or ISO-8601 strings; a
+    short digit ``ts_to`` covers its WHOLE stated unit (``--cdx-to
+    20240615`` includes all of June 15 — see ``_parse_cdx_ts``). All
+    filters are native column predicates — they push down to the index
+    scan.
     """
     out = index
     if host:
@@ -566,11 +613,18 @@ def scope_cdx_index(index: DataFrame, *, host: Optional[str] = None,
             if key.startswith("www."):
                 key = key[len("www."):]
             key = ",".join(reversed(key.strip(".").split(".")))
-        out = out.filter(F.col("urlkey").startswith(key))
+        key = key.rstrip(")").rstrip(",")
+        out = out.filter(
+            F.col("urlkey").startswith(key + ")")
+            | F.col("urlkey").startswith(key + ",")
+        )
     if ts_from:
         out = out.filter(
             F.col("capture_ts") >= F.lit(_parse_cdx_ts(ts_from))
         )
     if ts_to:
-        out = out.filter(F.col("capture_ts") <= F.lit(_parse_cdx_ts(ts_to)))
+        out = out.filter(
+            F.col("capture_ts")
+            <= F.lit(_parse_cdx_ts(ts_to, round_up=True))
+        )
     return out

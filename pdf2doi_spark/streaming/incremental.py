@@ -181,11 +181,10 @@ def run_stream_with_index_dedup(spark: SparkSession, landing_dir: str,
     from pyspark.sql import functions as F
 
     from pdf2doi_spark.operators.dedup_index import (
-        build_minhash_index,
+        bootstrap_index_if_absent,
         incremental_near_dups,
         merge_minhash_index,
     )
-    from pdf2doi_spark.sources.io import fs_exists
 
     docs_stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -194,10 +193,12 @@ def run_stream_with_index_dedup(spark: SparkSession, landing_dir: str,
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.select("doc_id", "text")
-        if not fs_exists(spark, index_path.rstrip("/") + "/_params"):
-            build_minhash_index(spark, batch.limit(0), index_path)
-        dups = incremental_near_dups(
-            spark, index_path, batch, threshold=threshold
+        # bootstrap iff genuinely absent — a populated index dir without
+        # _params is a crashed compaction and is REFUSED, never wiped
+        bootstrap_index_if_absent(spark, index_path, batch)
+        dups, batch_sigs = incremental_near_dups(
+            spark, index_path, batch, threshold=threshold,
+            return_sigs=True,
         )
         verdicts = batch.select("doc_id").join(dups, "doc_id", "left")
         (verdicts.withColumn("_batch", F.lit(int(batch_id)))
@@ -208,10 +209,12 @@ def run_stream_with_index_dedup(spark: SparkSession, landing_dir: str,
             spark.read.parquet(f"{out_dir}/verdicts")
             .filter(F.col("_batch") == int(batch_id))
         )
+        # probe's checkpointed sigs reused: one signature pass per batch
         merge_minhash_index(
             spark, index_path, batch,
             exclude=written.filter(F.col("dup_of").isNotNull())
             .select("doc_id"),
+            sigs=batch_sigs,
         )
 
     q = (

@@ -524,6 +524,21 @@ def test_compact_crash_mid_swap_refuses_loudly(spark, sf_dir, tmp_path,
     assert fs_exists(spark, _params_path(idx_path) + ".tmp")
     assert fs_exists(spark, idx_path + "/postings.cmp")
 
+    # and the ingest entry points' bootstrap must REFUSE this state, not
+    # mistake it for 'first use' and wipe every prior dump's survivors
+    from pdf2doi_spark.operators.dedup_index import (
+        bootstrap_index_if_absent,
+    )
+
+    probe_docs = _df(spark, {1: "alpha beta gamma delta"})
+    with pytest.raises(ValueError, match="crashed compaction"):
+        bootstrap_index_if_absent(spark, idx_path, probe_docs)
+    assert spark.read.parquet(idx_path + "/sigs").count() > 0  # untouched
+    # a genuinely fresh path bootstraps; an intact index is a no-op
+    fresh = str(tmp_path / "mh_fresh")
+    assert bootstrap_index_if_absent(spark, fresh, probe_docs) is True
+    assert bootstrap_index_if_absent(spark, fresh, probe_docs) is False
+
 
 def _pages_df(spark, rows):
     """rows: (url, body_words) -> pages-shaped DataFrame."""
@@ -608,3 +623,47 @@ def test_job_entrypoint_rolling_dedup_index(spark, tmp_path):
     assert [tuple(r) for r in dups_b] == [tuple(r) for r in dups]
     assert {r.doc_id for r in
             spark.read.parquet(idx + "/sigs").collect()} == sig_ids
+
+
+def test_merge_with_precomputed_sigs_matches_recompute(spark, sf_dir,
+                                                       tmp_path):
+    """The one-signature-pass ingest loop: merge(sigs=<probe's frame>)
+    must leave an index identical (sigs rows, postings rows, probe
+    verdicts) to the recompute-from-text merge, and must refuse a sigs
+    frame whose shape does not match the index params."""
+    index_docs, batch_docs = _doc_maps(spark, sf_dir)
+    a_path, b_path = str(tmp_path / "mh_a"), str(tmp_path / "mh_b")
+    for p in (a_path, b_path):
+        build_minhash_index(spark, _df(spark, index_docs), p,
+                            num_hashes=NUM_HASHES, bands=BANDS,
+                            n_parts=N_PARTS)
+
+    batch = _df(spark, batch_docs)
+    dups_a, sigs_a = incremental_near_dups(
+        spark, a_path, batch, threshold=0.5, return_sigs=True)
+    excl_a = dups_a.select("doc_id")
+    merge_minhash_index(spark, a_path, batch, exclude=excl_a, sigs=sigs_a)
+
+    dups_b = incremental_near_dups(spark, b_path, batch, threshold=0.5)
+    merge_minhash_index(spark, b_path, batch,
+                        exclude=dups_b.select("doc_id"))
+
+    for table in ("sigs", "postings"):
+        a = sorted(map(tuple, spark.read.parquet(
+            f"{a_path}/{table}").collect()))
+        b = sorted(map(tuple, spark.read.parquet(
+            f"{b_path}/{table}").collect()))
+        assert a == b, table
+
+    probe = _df(spark, {777001: batch_docs[900003]})
+    got_a = sorted(map(tuple, incremental_near_dups(
+        spark, a_path, probe, threshold=0.5).collect()))
+    got_b = sorted(map(tuple, incremental_near_dups(
+        spark, b_path, probe, threshold=0.5).collect()))
+    assert got_a == got_b and got_a
+
+    # shape guard: a frame missing this index's mh columns is refused
+    with pytest.raises(ValueError, match="missing columns"):
+        merge_minhash_index(
+            spark, a_path, batch,
+            sigs=sigs_a.drop(f"mh{NUM_HASHES - 1}"))

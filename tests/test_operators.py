@@ -235,6 +235,13 @@ def test_ppm_real_decode_roundtrip(spark):
             # codec-requiring payload in the same batch: fake lane
             (3, "image", bytearray(b"\x89PNG1234"), "image/png",
              4, 4, None),
+            # self-describing payload with MISSING metadata: must still
+            # reach the real decode lane (payload is the source of truth)
+            (4, "image", bytearray(payload), "image/x-portable-pixmap",
+             None, None, None),
+            # undecodable AND no usable dims: skipped, never guessed
+            (5, "image", bytearray(b"\x89PNG9999"), "image/png",
+             None, None, None),
         ],
         "media_id long, kind string, payload binary, mime string, "
         "width int, height int, duration_ms int",
@@ -245,10 +252,11 @@ def test_ppm_real_decode_roundtrip(spark):
            .set_index("media_id"))
     ys, xs = np.arange(2) * 6 // 2, np.arange(2) * 5 // 2
     want = (gray[np.ix_(ys, xs)] / 255.0).astype(np.float32).ravel()
-    for mid in (1, 2):  # decoded dims used for BOTH, metadata ignored
+    for mid in (1, 2, 4):  # decoded dims win; NULL metadata no barrier
         np.testing.assert_allclose(
             np.array(out.loc[mid, "pixels"], dtype=np.float32), want)
     assert len(out.loc[3, "pixels"]) == 4  # fake lane still flows
+    assert 5 not in out.index  # undecodable + no dims: skipped
 
     feats = (extract_features(media).toPandas().set_index("media_id"))
     vec = gray.ravel()

@@ -332,27 +332,46 @@ def test_scope_cdx_index_host_and_window(spark):
          "w0", 0, 10),
         ("org,example)/b", datetime(2024, 3, 1, tzinfo=timezone.utc),
          "w0", 10, 10),
-        ("com,other)/x", datetime(2024, 2, 1, tzinfo=timezone.utc),
+        ("org,example,sub)/s", datetime(2024, 1, 5, tzinfo=timezone.utc),
+         "w0", 20, 10),
+        # a DIFFERENT registered domain that extends the name: a bare
+        # prefix match would wrongly include it
+        ("org,exampleshop)/y", datetime(2024, 1, 2, tzinfo=timezone.utc),
          "w1", 0, 10),
+        ("com,other)/x", datetime(2024, 2, 1, tzinfo=timezone.utc),
+         "w1", 10, 10),
     ]
     idx = spark.createDataFrame(
         rows, "urlkey string, capture_ts timestamp, path string, "
               "offset long, length long")
-    # SURT prefix and plain-hostname spellings scope identically
+    # SURT and plain-hostname spellings scope identically: the host and
+    # its subdomains, at a SURT boundary — never exampleshop.org
     for host in ("org,example", "example.org", "www.example.org"):
         got = scope_cdx_index(idx, host=host)
         assert sorted(r.urlkey for r in got.collect()) == [
-            "org,example)/a", "org,example)/b"]
-    # 14-digit CDX bounds, inclusive; digit prefixes pad (2024 -> Jan 1)
+            "org,example)/a", "org,example)/b", "org,example,sub)/s"]
+    # 14-digit CDX bounds; a short digit ts_to covers its WHOLE unit
+    # (20240201 = all of Feb 1), a short ts_from starts at the unit
     got = scope_cdx_index(idx, ts_from="20240101000000", ts_to="20240201")
     assert sorted(r.urlkey for r in got.collect()) == [
-        "com,other)/x", "org,example)/a"]
+        "com,other)/x", "org,example)/a", "org,example,sub)/s",
+        "org,exampleshop)/y"]
+    # one-day window includes captures later that day
+    got = scope_cdx_index(idx, ts_from="20240105", ts_to="20240105")
+    assert [r.urlkey for r in got.collect()] == ["org,example,sub)/s"]
     # ISO spelling + host composition
     got = scope_cdx_index(idx, host="example.org",
                           ts_from="2024-02-01T00:00:00Z")
     assert [r.urlkey for r in got.collect()] == ["org,example)/b"]
-    assert _parse_cdx_ts("2024") == datetime(2024, 1, 1,
-                                             tzinfo=timezone.utc)
+    # digit forms parse NAIVE (compared in the session zone, same as
+    # try_to_timestamp built capture_ts); round_up takes the unit's end
+    assert _parse_cdx_ts("2024") == datetime(2024, 1, 1)
+    assert _parse_cdx_ts("2024", round_up=True) == datetime(
+        2024, 12, 31, 23, 59, 59)
+    assert _parse_cdx_ts("202412", round_up=True) == datetime(
+        2024, 12, 31, 23, 59, 59)
+    assert _parse_cdx_ts("20240229", round_up=True) == datetime(
+        2024, 2, 29, 23, 59, 59)
 
 
 def test_job_entrypoint_ingests_cdx_index(tmp_path):
