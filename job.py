@@ -80,6 +80,12 @@ def main() -> None:
                          "(bootstraps an empty index on first use)")
     ap.add_argument("--dedup-threshold", type=float, default=0.5,
                     help="signature-agreement threshold for --dedup-index")
+    ap.add_argument("--dedup-max-bucket", type=int, default=None,
+                    help="cap on LSH bucket size for the --dedup-index "
+                         "probe: buckets over this are excluded from the "
+                         "candidate join (audit first with "
+                         "minhash_index_profile; boilerplate-heavy crawls "
+                         "need this to bound the intra-dump self-join)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -194,7 +200,8 @@ def main() -> None:
                                       hash_fn="xxhash64")
             dups, batch_sigs = incremental_near_dups(
                 spark, args.dedup_index, docs,
-                threshold=args.dedup_threshold, return_sigs=True,
+                threshold=args.dedup_threshold,
+                max_bucket=args.dedup_max_bucket, return_sigs=True,
             )
             dups_path = os.path.join(args.output, "dups")
             (dups.join(docs.select("doc_id", "url"), "doc_id")

@@ -588,12 +588,12 @@ def test_job_entrypoint_rolling_dedup_index(spark, tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     idx = str(tmp_path / "rolling_index")
 
-    def run(inp, out):
+    def run(inp, out, *extra):
         return subprocess.run(
             [_sys.executable, os.path.join(repo, "job.py"),
              "--input", str(inp), "--output", str(out),
              "--shards", "2", "--master", "local[2]",
-             "--dedup-index", idx, "--dedup-threshold", "0.5"],
+             "--dedup-index", idx, "--dedup-threshold", "0.5", *extra],
             capture_output=True, text=True, timeout=420,
         )
 
@@ -623,6 +623,12 @@ def test_job_entrypoint_rolling_dedup_index(spark, tmp_path):
     assert [tuple(r) for r in dups_b] == [tuple(r) for r in dups]
     assert {r.doc_id for r in
             spark.read.parquet(idx + "/sigs").collect()} == sig_ids
+
+    # --dedup-max-bucket plumbs through to the probe's cap: 0 excludes
+    # every bucket from the candidate join, so nothing can flag
+    p2c = run(dump2, tmp_path / "run2_capped", "--dedup-max-bucket", "0")
+    assert p2c.returncode == 0, p2c.stderr[-2000:]
+    assert "near-dups flagged: 0" in p2c.stdout
 
 
 def test_merge_with_precomputed_sigs_matches_recompute(spark, sf_dir,
