@@ -2005,3 +2005,25 @@ def test_latest_capture_composes_with_extraction(spark):
         "https://x.org/a": "10.1063/1.2222222",  # newest capture wins
         "https://x.org/b": "10.1038/s41586-019-1666-5",
     }
+
+
+def test_ppm_decode_is_total_on_garbage():
+    """decode_image must only ever raise NotImplementedError (not a PPM)
+    or ValueError (corrupt PPM) — anything else would escape
+    _decode_or_fake's fallback and fail a task."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf2doi_spark.operators.multimodal import decode_image
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=64))
+    def run(blob):
+        for payload in (blob, b"P6" + blob, b"P6\n" + blob):
+            try:
+                out = decode_image(payload)
+                assert out.ndim == 3 and out.shape[2] == 3
+            except (NotImplementedError, ValueError):
+                pass  # the only allowed failure modes
+
+    run()

@@ -451,3 +451,32 @@ def test_job_entrypoint_ingests_cdx_index(tmp_path):
         capture_output=True, text=True, timeout=60,
     )
     assert bad.returncode != 0 and "exactly one of" in bad.stderr
+
+
+def test_parse_cdx_ts_is_total_and_ordered():
+    """_parse_cdx_ts: for every digit prefix, round_up >= round_down and
+    both fall inside the stated unit; junk raises ValueError only."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf2doi_spark.sources.warc import _parse_cdx_ts
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.datetimes(min_value=__import__("datetime").datetime(1996, 1, 1),
+                        max_value=__import__("datetime").datetime(2035, 1, 1)),
+           st.sampled_from([4, 6, 8, 10, 12, 14]))
+    def run(dt, n):
+        v = dt.strftime("%Y%m%d%H%M%S")[:n]
+        lo = _parse_cdx_ts(v)
+        hi = _parse_cdx_ts(v, round_up=True)
+        assert lo <= dt.replace(microsecond=0) or n < 14
+        assert lo <= hi
+        assert hi.strftime("%Y%m%d%H%M%S")[:n] == v  # hi stays in-unit
+        assert lo.strftime("%Y%m%d%H%M%S")[:n] == v
+
+    run()
+    import pytest as _pytest
+
+    for junk in ("not-a-ts", "2024-13-45", ""):
+        with _pytest.raises(ValueError):
+            _parse_cdx_ts(junk)
