@@ -205,12 +205,12 @@ def bootstrap_index_if_absent(spark: SparkSession, index_path: str,
     recover from the ``.cmp`` copies (see ``compact_minhash_index``) or
     point at a fresh path.
     """
+    from pdf2doi_spark.sources.io import _fs_child_names
+
     if fs_exists(spark, _params_path(index_path)):
         return False
     root = index_path.rstrip("/")
     if fs_exists(spark, root):
-        from pdf2doi_spark.sources.io import _fs_child_names
-
         children = _fs_child_names(spark, root)
         if children:
             raise ValueError(
@@ -423,6 +423,13 @@ def merge_minhash_index(spark: SparkSession, index_path: str,
     num_hashes, bands_n = p["num_hashes"], p["bands"]
     hash_fn, n_parts = p["hash_fn"], p["n_parts"]
 
+    def drop_excluded(df: DataFrame) -> DataFrame:
+        if exclude is None:
+            return df
+        return df.join(
+            exclude.select(F.col("doc_id")).distinct(), "doc_id", "left_anti"
+        )
+
     if sigs is not None:
         want = {"doc_id", *(f"mh{i}" for i in range(num_hashes))}
         have = set(sigs.columns)
@@ -433,30 +440,18 @@ def merge_minhash_index(spark: SparkSession, index_path: str,
                 "frame incremental_near_dups(return_sigs=True) returned "
                 "for THIS index"
             )
-        base = sigs.select(
+        base = drop_excluded(sigs.select(
             "doc_id", *(f"mh{i}" for i in range(num_hashes))
-        )
-        if exclude is not None:
-            base = base.join(
-                exclude.select(F.col("doc_id")).distinct(),
-                "doc_id", "left_anti",
-            )
-        sigs = base.dropDuplicates(["doc_id"]) \
-            .withColumn("sp", _sp(n_parts)).persist()
+        ))
     else:
-        docs = new_docs
-        if exclude is not None:
-            docs = docs.join(
-                exclude.select(F.col("doc_id")).distinct(),
-                "doc_id", "left_anti",
-            )
-
-        # one row per doc even if the batch carries repeats (a re-crawled
-        # url in the same dump): two sig rows for one id would double its
-        # postings and break the postings == sigs × bands invariant
-        sigs = _sig_df(docs, text_col, num_hashes, hash_fn) \
-            .dropDuplicates(["doc_id"]) \
-            .withColumn("sp", _sp(n_parts)).persist()
+        # exclusion BEFORE signaturing: excluded docs never pay the pass
+        base = _sig_df(drop_excluded(new_docs), text_col,
+                       num_hashes, hash_fn)
+    # one row per doc even if the batch carries repeats (a re-crawled
+    # url in the same dump): two sig rows for one id would double its
+    # postings and break the postings == sigs × bands invariant
+    sigs = base.dropDuplicates(["doc_id"]) \
+        .withColumn("sp", _sp(n_parts)).persist()
     try:
         sp_touched = [r.sp for r in sigs.select("sp").distinct().collect()]
         existing = _pruned(

@@ -102,17 +102,29 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
 
 
+def _decode_gray(payload: bytes):
+    """Real-lane decode to the 2-D grayscale float32 the numpy kernels
+    consume, or None when the payload is not a decodable PPM (non-PPM
+    formats AND corrupt rasters — one bad payload must never fail a
+    task). The magic is checked first so the common codec-less path
+    costs a startswith, not an exception per row."""
+    data = bytes(payload or b"")
+    if not data.startswith(b"P6"):
+        return None
+    try:
+        return decode_image(data).astype(np.float32).mean(axis=2)
+    except (NotImplementedError, ValueError):
+        return None
+
+
 def _decode_or_fake(payload: bytes) -> np.ndarray:
     """Pipeline decode dispatch: the real PPM lane when the payload is
-    one, ``fake_decode`` pseudo-pixels otherwise (codec-less formats AND
-    corrupt rasters — one bad payload must never fail a task). Real
-    decodes come back flattened to grayscale float32 (mean over RGB), the
-    shape the downstream numpy kernels consume."""
-    try:
-        rgb = decode_image(payload)
-        return rgb.astype(np.float32).mean(axis=2).ravel()
-    except (NotImplementedError, ValueError):
-        return fake_decode(bytes(payload) if payload is not None else b"")
+    one, ``fake_decode`` pseudo-pixels otherwise. Real decodes come back
+    flattened grayscale."""
+    gray = _decode_gray(payload)
+    if gray is not None:
+        return gray.ravel()
+    return fake_decode(bytes(payload) if payload is not None else b"")
 
 
 def fake_decode(payload: bytes) -> np.ndarray:
@@ -217,10 +229,10 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
             ids, pixels = [], []
             for m, p, w, h in zip(b["media_id"], b["payload"],
                                   b["width"], b["height"]):
-                try:
-                    src = decode_image(p).astype(np.float32).mean(axis=2)
+                src = _decode_gray(p)
+                if src is not None:
                     h, w = src.shape  # decoded dims beat metadata
-                except (NotImplementedError, ValueError):
+                else:
                     if pd.isna(w) or pd.isna(h) or int(w) <= 0 or int(h) <= 0:
                         continue  # undecodable AND no usable dims
                     w, h = int(w), int(h)
