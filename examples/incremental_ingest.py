@@ -74,9 +74,14 @@ def main() -> None:
 
         for i in range(0, args.dumps):
             batch = dump(i)
-            dups = incremental_near_dups(
-                spark, args.index_dir, batch, threshold=args.threshold
-            ).persist()
+            # return_sigs: the probe's checkpointed signature frame feeds
+            # the merge, so the dominant cost (shingle+minhash) runs ONCE
+            # per dump — the canonical ingest-loop shape
+            dups, batch_sigs = incremental_near_dups(
+                spark, args.index_dir, batch, threshold=args.threshold,
+                return_sigs=True,
+            )
+            dups = dups.persist()
             by_source = {
                 r["source"]: r["n"]
                 for r in dups.groupBy("source").agg(
@@ -85,7 +90,8 @@ def main() -> None:
             # survivors of THIS dump join the corpus; the next dump's
             # probe sees them without any recompute of dumps 0..i
             merge_minhash_index(
-                spark, args.index_dir, batch, exclude=dups.select("doc_id")
+                spark, args.index_dir, batch,
+                exclude=dups.select("doc_id"), sigs=batch_sigs,
             )
             n_batch = batch.count()
             n_dups = sum(by_source.values())
